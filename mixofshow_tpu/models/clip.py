@@ -1,0 +1,123 @@
+"""CLIP text encoder (SD1.x text conditioning), functional JAX.
+
+TPU-native equivalent of the transformers `CLIPTextModel` the reference loads
+(reference: trainer_edlora.py:40, architecture = openai/clip-vit-large-patch14
+text tower: 12 layers, width 768, 12 heads, quick-gelu, causal mask).
+
+ED-LoRA specifics built in natively rather than by model surgery:
+  * concept embeddings live in a separate `(num_new_tokens, width)` table
+    passed at call time; token ids >= vocab_size index into it. The base
+    vocab table is never resized or row-masked (contrast reference
+    trainer_edlora.py:167-185 and the row-restore trick train_edlora.py:135).
+  * LoRA on the attention q/k/v/out projections (the reference's
+    `where='CLIPAttention'` targets — trainer_edlora.py:97-115) threads
+    through the `lora` pytree argument.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mixofshow_tpu.models.layers import (as_rng, dense, init_dense,
+                                         init_embedding, init_norm,
+                                         layer_norm, sdpa)
+from mixofshow_tpu.models.lora import maybe
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_dim: int = 3072
+    max_positions: int = 77
+    eps: float = 1e-5
+
+    @staticmethod
+    def sd15() -> 'CLIPTextConfig':
+        return CLIPTextConfig()
+
+
+def init_clip_text(rng, cfg: CLIPTextConfig, dtype=jnp.float32):
+    rng = as_rng(rng)
+    params = {
+        'token_embedding': init_embedding(rng, cfg.vocab_size, cfg.width,
+                                          dtype=dtype),
+        'position_embedding': init_embedding(rng, cfg.max_positions,
+                                             cfg.width, dtype=dtype),
+        'final_norm': init_norm(cfg.width, dtype),
+        'blocks': [],
+    }
+    for _ in range(cfg.layers):
+        params['blocks'].append({
+            'ln1': init_norm(cfg.width, dtype),
+            'attn': {
+                'q': init_dense(rng, cfg.width, cfg.width, dtype=dtype),
+                'k': init_dense(rng, cfg.width, cfg.width, dtype=dtype),
+                'v': init_dense(rng, cfg.width, cfg.width, dtype=dtype),
+                'out': init_dense(rng, cfg.width, cfg.width, dtype=dtype),
+            },
+            'ln2': init_norm(cfg.width, dtype),
+            'mlp': {
+                'fc1': init_dense(rng, cfg.width, cfg.mlp_dim, dtype=dtype),
+                'fc2': init_dense(rng, cfg.mlp_dim, cfg.width, dtype=dtype),
+            },
+        })
+    return params
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _attn_block(p, x, heads: int, lora=None, lora_alpha=1.0):
+    b, s, c = x.shape
+    d = c // heads
+    q = dense(p['q'], x, maybe(lora, 'q'), lora_alpha).reshape(b, s, heads, d)
+    k = dense(p['k'], x, maybe(lora, 'k'), lora_alpha).reshape(b, s, heads, d)
+    v = dense(p['v'], x, maybe(lora, 'v'), lora_alpha).reshape(b, s, heads, d)
+    out, _ = sdpa(q, k, v, causal=True)
+    out = out.reshape(b, s, c)
+    return dense(p['out'], out, maybe(lora, 'out'), lora_alpha)
+
+
+def embed_tokens(token_embedding: jnp.ndarray, input_ids: jnp.ndarray,
+                 concept_embedding: Optional[jnp.ndarray] = None):
+    """Vocab lookup with a detached concept table for ids >= vocab_size.
+
+    Two clipped gathers + select — never materializes a concatenated table,
+    so the frozen base table costs no extra HBM traffic per step."""
+    vocab_size = token_embedding.shape[0]
+    base = token_embedding[jnp.clip(input_ids, 0, vocab_size - 1)]
+    if concept_embedding is None:
+        return base
+    n_new = concept_embedding.shape[0]
+    new = concept_embedding[jnp.clip(input_ids - vocab_size, 0, n_new - 1)]
+    is_new = (input_ids >= vocab_size)[..., None]
+    return jnp.where(is_new, new.astype(base.dtype), base)
+
+
+def clip_text_encode(params, input_ids: jnp.ndarray,
+                     cfg: CLIPTextConfig = CLIPTextConfig(),
+                     concept_embedding: Optional[jnp.ndarray] = None,
+                     lora=None, lora_alpha: float | jnp.ndarray = 1.0,
+                     dtype=None) -> jnp.ndarray:
+    """Returns last_hidden_state (B, S, width) after the final layer norm —
+    the `text_encoder(ids)[0]` the reference consumes (trainer_edlora.py:232).
+    """
+    x = embed_tokens(params['token_embedding'], input_ids, concept_embedding)
+    if dtype is not None:
+        x = x.astype(dtype)
+    x = x + params['position_embedding'][:x.shape[1]].astype(x.dtype)
+    for i, blk in enumerate(params['blocks']):
+        blora = maybe(lora, 'blocks', i)
+        x = x + _attn_block(blk['attn'], layer_norm(blk['ln1'], x, cfg.eps),
+                            cfg.heads, maybe(blora, 'attn'), lora_alpha)
+        h = layer_norm(blk['ln2'], x, cfg.eps)
+        h = quick_gelu(dense(blk['mlp']['fc1'], h))
+        x = x + dense(blk['mlp']['fc2'], h)
+    return layer_norm(params['final_norm'], x, cfg.eps)

@@ -1,0 +1,187 @@
+"""Functional NN building blocks over plain parameter pytrees.
+
+Design stance (SURVEY.md §7): the reference extends models by *mutation*
+(monkey-patched forwards, processor swapping). Here every layer is a pure
+function `f(params, x, ...)` over a nested-dict pytree, and LoRA deltas are a
+*separate* pytree threaded to call sites — so jit/pjit see one functional
+program and gradients are taken w.r.t. the LoRA tree alone.
+
+Conventions:
+  * activations are NHWC, conv kernels HWIO (TPU-native layouts)
+  * dense kernels are (in, out): y = x @ W + b
+  * LoRA leaf: {'down': (in, r), 'up': (r, out)}; applied as
+    y += alpha * (x @ down) @ up   (reference: edlora.py:244-246)
+  * norms compute in fp32 regardless of activation dtype
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ----------------------------------------------------------------- dense/conv
+def dense(p, x, lora=None, alpha: float | jnp.ndarray = 1.0):
+    """y = x @ kernel + bias, with optional LoRA delta."""
+    dt = x.dtype
+    y = jnp.dot(x, p['kernel'].astype(dt), preferred_element_type=dt)
+    if 'bias' in p:
+        y = y + p['bias'].astype(dt)
+    if lora is not None:
+        delta = jnp.dot(jnp.dot(x, lora['down'].astype(dt)),
+                        lora['up'].astype(dt), preferred_element_type=dt)
+        y = y + jnp.asarray(alpha, dt) * delta
+    return y
+
+
+def conv2d(p, x, stride: int = 1, padding='SAME', lora=None,
+           alpha: float | jnp.ndarray = 1.0):
+    """NHWC conv. LoRA (1x1 factorized) supported for 1x1 convs, matching the
+    reference's Conv2d LoRA branch (edlora.py:227-230)."""
+    dt = x.dtype
+    y = jax.lax.conv_general_dilated(
+        x, p['kernel'].astype(dt),
+        window_strides=(stride, stride),
+        padding=padding if isinstance(padding, str) else
+        [(padding, padding), (padding, padding)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=dt)
+    if 'bias' in p:
+        y = y + p['bias'].astype(dt)
+    if lora is not None:
+        # 1x1 conv LoRA == per-pixel dense LoRA
+        delta = jnp.dot(jnp.dot(x, lora['down'].astype(dt)),
+                        lora['up'].astype(dt), preferred_element_type=dt)
+        y = y + jnp.asarray(alpha, dt) * delta
+    return y
+
+
+# ----------------------------------------------------------------------- norm
+def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5,
+               act: Optional[str] = None):
+    """GroupNorm over NHWC (channels last), fp32 statistics."""
+    b, h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, h * w, num_groups, c // num_groups)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(b, h, w, c)
+    out = xf * p['scale'].astype(jnp.float32) + p['bias'].astype(jnp.float32)
+    if act == 'silu':
+        out = jax.nn.silu(out)
+    return out.astype(x.dtype)
+
+
+def layer_norm(p, x, eps: float = 1e-5):
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = xf.var(axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = out * p['scale'].astype(jnp.float32) + p['bias'].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+# ------------------------------------------------------------------ attention
+def sdpa(q, k, v, scale: Optional[float] = None, causal: bool = False,
+         return_probs: bool = False):
+    """Multi-head scaled dot-product attention, (B, S, H, D) layout.
+
+    fp32 softmax (numerically matches the reference's
+    `attn.get_attention_scores` upcast behavior). `return_probs` exposes the
+    softmax probabilities for the AttentionStore / attention-regularization
+    path (reference: edlora.py:81-83, ptp_util.py) — callers must only
+    request it on small maps.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum('bqhd,bkhd->bhqk', q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if causal:
+        qlen, klen = logits.shape[-2], logits.shape[-1]
+        mask = jnp.tril(jnp.ones((qlen, klen), dtype=bool))
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum('bhqk,bkhd->bqhd', probs.astype(v.dtype), v,
+                     preferred_element_type=v.dtype)
+    if return_probs:
+        return out, probs
+    return out, None
+
+
+# ------------------------------------------------------------------- inits
+# Host-side numpy init: random init is a one-time cold path (real runs load
+# checkpoint weights), and doing it on host avoids compiling hundreds of tiny
+# device programs. `as_rng` accepts an int seed, a numpy Generator, or a JAX
+# PRNG key for convenience.
+def as_rng(seed) -> np.random.Generator:
+    if isinstance(seed, np.random.Generator):
+        return seed
+    if isinstance(seed, (int, np.integer)):
+        return np.random.default_rng(int(seed))
+    # a JAX PRNG key (typed key array or raw uint32 key data)
+    if jnp.issubdtype(getattr(seed, 'dtype', None), jax.dtypes.prng_key):
+        seed = jax.random.key_data(seed)
+    return np.random.default_rng([int(x) for x in np.asarray(seed).ravel()])
+
+
+def init_dense(rng, in_dim: int, out_dim: int, bias: bool = True,
+               dtype=jnp.float32):
+    """torch nn.Linear default init (kaiming uniform a=sqrt(5) ~ U[-1/sqrt(in), +])."""
+    rng = as_rng(rng)
+    bound = 1.0 / math.sqrt(in_dim)
+    p = {'kernel': jnp.asarray(
+        rng.uniform(-bound, bound, (in_dim, out_dim)), dtype)}
+    if bias:
+        p['bias'] = jnp.asarray(rng.uniform(-bound, bound, (out_dim,)), dtype)
+    return p
+
+
+def init_conv2d(rng, kh: int, kw: int, in_dim: int, out_dim: int,
+                bias: bool = True, dtype=jnp.float32):
+    rng = as_rng(rng)
+    fan_in = kh * kw * in_dim
+    bound = 1.0 / math.sqrt(fan_in)
+    p = {'kernel': jnp.asarray(
+        rng.uniform(-bound, bound, (kh, kw, in_dim, out_dim)), dtype)}
+    if bias:
+        p['bias'] = jnp.asarray(rng.uniform(-bound, bound, (out_dim,)), dtype)
+    return p
+
+
+def init_norm(dim: int, dtype=jnp.float32):
+    return {'scale': jnp.ones((dim,), dtype), 'bias': jnp.zeros((dim,), dtype)}
+
+
+def init_embedding(rng, num: int, dim: int, scale: float = 0.02,
+                   dtype=jnp.float32):
+    rng = as_rng(rng)
+    return jnp.asarray(rng.normal(0.0, scale, (num, dim)), dtype)
+
+
+# ------------------------------------------------------------------- helpers
+def cast_floats(tree, dtype):
+    """Cast all floating leaves of a pytree (e.g. fp32 params → bf16 compute)."""
+    def _cast(x):
+        if isinstance(x, jnp.ndarray) and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+    return jax.tree.map(_cast, tree)
+
+
+def timestep_embedding(timesteps, dim: int, max_period: int = 10000,
+                       flip_sin_to_cos: bool = True, scale: float = 1.0):
+    """Sinusoidal timestep embedding (SD convention: half dim sin, half cos,
+    flip order so cos comes first; downscale_freq_shift=0)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period)
+                    * jnp.arange(half, dtype=jnp.float32) / half)
+    args = scale * timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos],
+                          axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, [(0, 0), (0, 1)])
+    return emb

@@ -1,0 +1,354 @@
+"""SD1.x UNet2DConditionModel, functional JAX, NHWC, TPU-first.
+
+TPU-native equivalent of the diffusers UNet the reference drives
+(reference: trainer_edlora.py:41, pipeline_edlora.py:277). The reference's
+three mutation-based extension points are replaced by functional arguments:
+
+  * ED-LoRA layerwise text embeddings: every cross-attention layer has a
+    static index in down→mid→up order (reference edlora.py:176-190 registers
+    processors in exactly this order; 16 layers for SD1.5). When
+    `encoder_hidden_states` is 4-D (B, 16, 77, C) each attn2 slices its own
+    layer (edlora.py:130-131); a 3-D (B, 77, C) tensor is broadcast.
+  * LoRA: a pytree mirroring this module's param tree is threaded to every
+    attention linear (reference trainer_edlora.py:118-136 wraps the same
+    `where='Attention'` targets by monkey-patching).
+  * regional / controlled cross-attention: `cross_attn_override` — a pure
+    callable invoked instead of the default cross-attention — replaces
+    processor swapping (edlora.py:193-218,
+    pipeline_regionally_t2iadapter.py:148-163).
+
+Aux outputs: `return_cross_probs=True` returns softmax cross-attention maps
+grouped by UNet placement, the functional AttentionStore feed
+(reference ptp_util.py:67-101).
+
+T2I-Adapter features (`adapter_features`, list of one map per down block) are
+added after each down block's resnet stack, matching diffusers 0.19.x
+is_adapter injection used by the regional pipeline
+(pipeline_regionally_t2iadapter.py:556-566).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mixofshow_tpu.models.layers import (as_rng, conv2d, dense, group_norm,
+                                         init_conv2d, init_dense, init_norm,
+                                         layer_norm, sdpa, timestep_embedding)
+from mixofshow_tpu.models.lora import maybe
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    cross_attention_dim: int = 768
+    attention_heads: int = 8  # SD1.x: attention_head_dim config == num heads
+    norm_groups: int = 32
+    sample_size: int = 64
+    # which down blocks carry cross-attention transformers (SD1.5: first 3)
+    down_cross: Tuple[bool, ...] = (True, True, True, False)
+
+    @staticmethod
+    def sd15() -> 'UNetConfig':
+        return UNetConfig()
+
+    @staticmethod
+    def tiny() -> 'UNetConfig':
+        """Small config for tests: same topology, 16x fewer channels."""
+        return UNetConfig(block_out_channels=(32, 64, 128, 128),
+                          cross_attention_dim=64, attention_heads=2,
+                          norm_groups=8, sample_size=16)
+
+    @property
+    def up_cross(self) -> Tuple[bool, ...]:
+        return tuple(reversed(self.down_cross))
+
+    @property
+    def num_cross_layers(self) -> int:
+        down = sum(self.layers_per_block for c in self.down_cross if c)
+        up = sum(self.layers_per_block + 1 for c in self.up_cross if c)
+        return down + 1 + up  # +1 for mid — 16 for SD1.5
+
+
+# ---------------------------------------------------------------------- init
+def _init_resnet(rng, cin, cout, temb_dim, groups, dtype):
+    p = {
+        'norm1': init_norm(cin, dtype),
+        'conv1': init_conv2d(rng, 3, 3, cin, cout, dtype=dtype),
+        'time_emb_proj': init_dense(rng, temb_dim, cout, dtype=dtype),
+        'norm2': init_norm(cout, dtype),
+        'conv2': init_conv2d(rng, 3, 3, cout, cout, dtype=dtype),
+    }
+    if cin != cout:
+        p['shortcut'] = init_conv2d(rng, 1, 1, cin, cout, dtype=dtype)
+    return p
+
+
+def _init_attention(rng, query_dim, context_dim, dtype):
+    return {
+        'to_q': init_dense(rng, query_dim, query_dim, bias=False, dtype=dtype),
+        'to_k': init_dense(rng, context_dim, query_dim, bias=False, dtype=dtype),
+        'to_v': init_dense(rng, context_dim, query_dim, bias=False, dtype=dtype),
+        'to_out': init_dense(rng, query_dim, query_dim, dtype=dtype),
+    }
+
+
+def _init_transformer(rng, c, context_dim, groups, dtype):
+    inner = 4 * c
+    return {
+        'norm': init_norm(c, dtype),
+        'proj_in': init_conv2d(rng, 1, 1, c, c, dtype=dtype),
+        'ln1': init_norm(c, dtype),
+        'attn1': _init_attention(rng, c, c, dtype),
+        'ln2': init_norm(c, dtype),
+        'attn2': _init_attention(rng, c, context_dim, dtype),
+        'ln3': init_norm(c, dtype),
+        'ff': {
+            'proj': init_dense(rng, c, 2 * inner, dtype=dtype),  # GEGLU
+            'out': init_dense(rng, inner, c, dtype=dtype),
+        },
+        'proj_out': init_conv2d(rng, 1, 1, c, c, dtype=dtype),
+    }
+
+
+def init_unet(rng, cfg: UNetConfig = UNetConfig(), dtype=jnp.float32):
+    rng = as_rng(rng)
+    ch = cfg.block_out_channels
+    temb_dim = 4 * ch[0]
+    params = {
+        'conv_in': init_conv2d(rng, 3, 3, cfg.in_channels, ch[0],
+                               dtype=dtype),
+        'time_embedding': {
+            'linear_1': init_dense(rng, ch[0], temb_dim, dtype=dtype),
+            'linear_2': init_dense(rng, temb_dim, temb_dim, dtype=dtype),
+        },
+        'down_blocks': [], 'up_blocks': [],
+    }
+    # down
+    cin = ch[0]
+    for i, has_cross in enumerate(cfg.down_cross):
+        block = {'resnets': [], 'attentions': []}
+        for _ in range(cfg.layers_per_block):
+            block['resnets'].append(
+                _init_resnet(rng, cin, ch[i], temb_dim,
+                             cfg.norm_groups, dtype))
+            cin = ch[i]
+            if has_cross:
+                block['attentions'].append(
+                    _init_transformer(rng, cin, cfg.cross_attention_dim,
+                                      cfg.norm_groups, dtype))
+        if i < len(ch) - 1:
+            block['downsample'] = init_conv2d(rng, 3, 3, cin, cin,
+                                              dtype=dtype)
+        params['down_blocks'].append(block)
+    # mid
+    params['mid'] = {
+        'resnet1': _init_resnet(rng, cin, cin, temb_dim,
+                                cfg.norm_groups, dtype),
+        'attention': _init_transformer(rng, cin,
+                                       cfg.cross_attention_dim,
+                                       cfg.norm_groups, dtype),
+        'resnet2': _init_resnet(rng, cin, cin, temb_dim,
+                                cfg.norm_groups, dtype),
+    }
+    # up
+    rev_ch = list(reversed(ch))
+    for i, has_cross in enumerate(cfg.up_cross):
+        cout = rev_ch[i]
+        skip_ch = rev_ch[min(i + 1, len(ch) - 1)]
+        block = {'resnets': [], 'attentions': []}
+        for j in range(cfg.layers_per_block + 1):
+            skip = rev_ch[i] if j < cfg.layers_per_block else skip_ch
+            block['resnets'].append(
+                _init_resnet(rng, cin + skip, cout, temb_dim,
+                             cfg.norm_groups, dtype))
+            cin = cout
+            if has_cross:
+                block['attentions'].append(
+                    _init_transformer(rng, cin, cfg.cross_attention_dim,
+                                      cfg.norm_groups, dtype))
+        if i < len(ch) - 1:
+            block['upsample'] = init_conv2d(rng, 3, 3, cin, cin,
+                                            dtype=dtype)
+        params['up_blocks'].append(block)
+
+    params['norm_out'] = init_norm(cin, dtype)
+    params['conv_out'] = init_conv2d(rng, 3, 3, cin, cfg.out_channels,
+                                     dtype=dtype)
+    return params
+
+
+# ------------------------------------------------------------------- forward
+def _resnet(p, x, temb, groups):
+    h = group_norm(p['norm1'], x, groups, act='silu')
+    h = conv2d(p['conv1'], h)
+    t = dense(p['time_emb_proj'], jax.nn.silu(temb))
+    h = h + t[:, None, None, :]
+    h = group_norm(p['norm2'], h, groups, act='silu')
+    h = conv2d(p['conv2'], h)
+    if 'shortcut' in p:
+        x = conv2d(p['shortcut'], x)
+    return x + h
+
+
+def mh_attention(p, x, context, heads: int, lora=None, alpha=1.0,
+                 return_probs: bool = False):
+    """diffusers `Attention` equivalent; (B, S, C) in/out."""
+    b, s, c = x.shape
+    d = c // heads
+    q = dense(p['to_q'], x, maybe(lora, 'to_q'), alpha).reshape(b, s, heads, d)
+    k = dense(p['to_k'], context, maybe(lora, 'to_k'), alpha)
+    v = dense(p['to_v'], context, maybe(lora, 'to_v'), alpha)
+    k = k.reshape(b, -1, heads, d)
+    v = v.reshape(b, -1, heads, d)
+    out, probs = sdpa(q, k, v, return_probs=return_probs)
+    out = out.reshape(b, s, c)
+    return dense(p['to_out'], out, maybe(lora, 'to_out'), alpha), probs
+
+
+def _geglu_ff(p, x):
+    h = dense(p['proj'], x)
+    h, gate = jnp.split(h, 2, axis=-1)
+    return dense(p['out'], h * jax.nn.gelu(gate))
+
+
+def _transformer(p, x, context, layer_idx: int, place: str, cfg: UNetConfig,
+                 lora=None, alpha=1.0,
+                 cross_attn_override: Optional[Callable] = None,
+                 return_cross_probs: bool = False):
+    """Transformer2DModel with one BasicTransformerBlock (SD1.x shape).
+
+    `context` is (B, 77, C) or layerwise (B, L, 77, C) — sliced at
+    `layer_idx` here, mirroring EDLoRA_AttnProcessor (edlora.py:130-131)."""
+    b, h, w, c = x.shape
+    residual = x
+    hid = group_norm(p['norm'], x, cfg.norm_groups, eps=1e-6)
+    hid = conv2d(p['proj_in'], hid).reshape(b, h * w, c)
+
+    # self-attention
+    attn_in = layer_norm(p['ln1'], hid)
+    sa, _ = mh_attention(p['attn1'], attn_in, attn_in, cfg.attention_heads,
+                         maybe(lora, 'attn1'), alpha)
+    hid = hid + sa
+
+    # cross-attention (the ED-LoRA layer-indexed slot)
+    ctx = context[:, layer_idx] if context.ndim == 4 else context
+    attn_in = layer_norm(p['ln2'], hid)
+    probs = None
+    if cross_attn_override is not None:
+        ca = cross_attn_override(p['attn2'], attn_in, ctx, layer_idx, place,
+                                 (h, w), maybe(lora, 'attn2'), alpha)
+    else:
+        ca, probs = mh_attention(p['attn2'], attn_in, ctx,
+                                 cfg.attention_heads, maybe(lora, 'attn2'),
+                                 alpha, return_probs=return_cross_probs)
+    hid = hid + ca
+
+    # feed-forward (GEGLU)
+    hid = hid + _geglu_ff(p['ff'], layer_norm(p['ln3'], hid))
+
+    hid = conv2d(p['proj_out'], hid.reshape(b, h, w, c))
+    return hid + residual, probs
+
+
+def unet_apply(params, sample: jnp.ndarray, timesteps: jnp.ndarray,
+               encoder_hidden_states: jnp.ndarray,
+               cfg: UNetConfig = UNetConfig(),
+               lora=None, lora_alpha=1.0,
+               adapter_features: Optional[Sequence[jnp.ndarray]] = None,
+               cross_attn_override: Optional[Callable] = None,
+               return_cross_probs: bool = False,
+               remat: bool = False):
+    """Predict noise/velocity. sample: (B, H, W, 4) NHWC; timesteps: (B,) or
+    scalar; encoder_hidden_states: (B, 77, C) or layerwise (B, L, 77, C).
+
+    Returns (out, aux) where aux['cross_probs'] is a list of
+    (place, layer_idx, probs(B, heads, Q, K)) when requested."""
+    if timesteps.ndim == 0:
+        timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+    dt = sample.dtype
+    temb = timestep_embedding(timesteps, cfg.block_out_channels[0])
+    temb = dense(params['time_embedding']['linear_1'], temb.astype(dt))
+    temb = dense(params['time_embedding']['linear_2'], jax.nn.silu(temb))
+
+    ehs = encoder_hidden_states.astype(dt)
+    probs_out: List = []
+    layer_idx = 0
+
+    tfm = _transformer
+    if remat:
+        tfm = jax.checkpoint(_transformer,
+                             static_argnums=(3, 4, 5, 8, 9),
+                             policy=jax.checkpoint_policies.nothing_saveable)
+
+    def run_pair(p_attn, x, idx, place, blora):
+        return tfm(p_attn, x, ehs, idx, place, cfg, blora, lora_alpha,
+                   cross_attn_override, return_cross_probs)
+
+    x = conv2d(params['conv_in'], sample)
+    residuals = [x]
+
+    # ---- down
+    for i, block in enumerate(params['down_blocks']):
+        blora = maybe(lora, 'down_blocks', i)
+        has_cross = cfg.down_cross[i]
+        for j, res_p in enumerate(block['resnets']):
+            x = _resnet(res_p, x, temb, cfg.norm_groups)
+            if has_cross:
+                x, pr = run_pair(block['attentions'][j], x, layer_idx, 'down',
+                                 maybe(blora, 'attentions', j))
+                if pr is not None:
+                    probs_out.append(('down', layer_idx, pr))
+                layer_idx += 1
+            residuals.append(x)
+        if adapter_features is not None and i < len(adapter_features):
+            # diffusers 0.19.x asymmetry: inside cross-attn blocks the adapter
+            # feature lands on the last resnet/attn output (and therefore its
+            # residual and the downsample input); for plain DownBlock2D it is
+            # added after the block, leaving that block's residuals untouched.
+            x = x + adapter_features[i].astype(dt)
+            if has_cross:
+                residuals[-1] = x
+        if 'downsample' in block:
+            x = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
+            x = conv2d(block['downsample'], x, stride=2, padding='VALID')
+            residuals.append(x)
+
+    # ---- mid
+    x = _resnet(params['mid']['resnet1'], x, temb, cfg.norm_groups)
+    x, pr = run_pair(params['mid']['attention'], x, layer_idx, 'mid',
+                     maybe(lora, 'mid', 'attention'))
+    if pr is not None:
+        probs_out.append(('mid', layer_idx, pr))
+    layer_idx += 1
+    x = _resnet(params['mid']['resnet2'], x, temb, cfg.norm_groups)
+
+    # ---- up
+    for i, block in enumerate(params['up_blocks']):
+        blora = maybe(lora, 'up_blocks', i)
+        has_cross = cfg.up_cross[i]
+        for j, res_p in enumerate(block['resnets']):
+            skip = residuals.pop()
+            x = _resnet(res_p, jnp.concatenate([x, skip], axis=-1), temb,
+                        cfg.norm_groups)
+            if has_cross:
+                x, pr = run_pair(block['attentions'][j], x, layer_idx, 'up',
+                                 maybe(blora, 'attentions', j))
+                if pr is not None:
+                    probs_out.append(('up', layer_idx, pr))
+                layer_idx += 1
+        if 'upsample' in block:
+            b, h, w, c = x.shape
+            x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method='nearest')
+            x = conv2d(block['upsample'], x)
+
+    x = group_norm(params['norm_out'], x, cfg.norm_groups, act='silu')
+    out = conv2d(params['conv_out'], x)
+    aux = {'cross_probs': probs_out} if return_cross_probs else {}
+    return out, aux
