@@ -13,9 +13,11 @@ from __future__ import annotations
 import dataclasses
 from typing import Literal
 
+import jax
 import jax.numpy as jnp
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DDPMSchedule:
     """Frozen forward-diffusion schedule.
@@ -24,8 +26,8 @@ class DDPMSchedule:
     float32 tables indexed by integer timestep.
     """
 
-    num_train_timesteps: int
-    prediction_type: str  # 'epsilon' | 'v_prediction'
+    num_train_timesteps: int = dataclasses.field(metadata=dict(static=True))
+    prediction_type: str = dataclasses.field(metadata=dict(static=True))
     betas: jnp.ndarray
     alphas_cumprod: jnp.ndarray
     sqrt_alphas_cumprod: jnp.ndarray

@@ -16,12 +16,14 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mixofshow_tpu.diffusion.ddpm import make_betas
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class StepCoeffs:
     """Per-step scalar tables, each of shape (num_steps,). Used as scan xs."""
@@ -35,10 +37,11 @@ class StepCoeffs:
     use_order2: jnp.ndarray     # bool: apply second-order correction
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DPMSolverMultistep:
-    num_train_timesteps: int
-    prediction_type: str  # 'epsilon' | 'v_prediction'
+    num_train_timesteps: int = dataclasses.field(metadata=dict(static=True))
+    prediction_type: str = dataclasses.field(metadata=dict(static=True))
     alpha_t: jnp.ndarray  # (T,) sqrt(alphas_cumprod)
     sigma_t: jnp.ndarray  # (T,) sqrt(1 - alphas_cumprod)
     lambda_t: jnp.ndarray  # (T,) log(alpha/sigma)

@@ -163,12 +163,28 @@ def init_embedding(rng, num: int, dim: int, scale: float = 0.02,
 
 # ------------------------------------------------------------------- helpers
 def cast_floats(tree, dtype):
-    """Cast all floating leaves of a pytree (e.g. fp32 params → bf16 compute)."""
-    def _cast(x):
-        if isinstance(x, jnp.ndarray) and jnp.issubdtype(x.dtype, jnp.floating):
+    """Cast all floating leaves of a pytree (e.g. fp32 params → bf16 compute).
+
+    Host (numpy) leaves are cast on host — numpy handles bf16 via ml_dtypes —
+    so nothing touches the device; device leaves are cast in ONE jitted
+    program instead of per-leaf eager dispatches (which would mean hundreds
+    of round trips on a remote-device setup)."""
+    def _is_float(x):
+        return hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.floating)
+
+    def _cast_host(x):
+        if isinstance(x, np.ndarray) and _is_float(x):
             return x.astype(dtype)
         return x
-    return jax.tree.map(_cast, tree)
+
+    host_cast = jax.tree.map(_cast_host, tree)
+    leaves = jax.tree.leaves(host_cast)
+    if any(isinstance(x, jax.Array) and _is_float(x) and x.dtype != dtype
+           for x in leaves):
+        cast_all = jax.jit(lambda t: jax.tree.map(
+            lambda x: x.astype(dtype) if _is_float(x) else x, t))
+        return cast_all(host_cast)
+    return host_cast
 
 
 def timestep_embedding(timesteps, dim: int, max_period: int = 10000,

@@ -1,0 +1,5 @@
+from mixofshow_tpu.pipelines.concepts import (bind_concept_prompt,
+                                              init_concepts)
+from mixofshow_tpu.pipelines.pipeline_edlora import EDLoRAPipeline
+
+__all__ = ['bind_concept_prompt', 'init_concepts', 'EDLoRAPipeline']
