@@ -1,0 +1,54 @@
+"""Validation sampling: fixed-latent prompt sweeps + composed grids.
+
+Behavioral equivalent of the reference `visual_validation`
+(test_edlora.py:24-57) + `save_and_validation` (train_edlora.py:165-189):
+sample every validation prompt with its deterministic per-index latent at
+each LoRA alpha, write per-image PNGs, compose a labelled grid.
+
+TPU-first: alphas reuse ONE compiled sampling program — alpha rides in as a
+traced scalar on unmerged LoRA (the reference re-builds and re-merges an
+fp16 pipeline per alpha, test_edlora.py:91-94)."""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from mixofshow_tpu.data.loader import DataLoader, default_collate
+from mixofshow_tpu.pipelines.pipeline_edlora import EDLoRAPipeline
+from mixofshow_tpu.utils.options import NEGATIVE_PROMPT
+from mixofshow_tpu.utils.vis import (array_to_pil, compose_visualize,
+                                     pil_imwrite, safe_filename)
+
+
+def visual_validation(pipe: EDLoRAPipeline, val_dataset, suffix: str,
+                      opt: Dict):
+    """Sample every (prompt, index) pair and write PNGs + composed grid."""
+    sample_cfg = opt['val'].get('sample', {})
+    steps = sample_cfg.get('num_inference_steps', 50)
+    guidance = sample_cfg.get('guidance_scale', 7.5)
+    batch_size = opt['datasets']['val_vis'].get('batch_size_per_gpu', 4)
+    vis_dir = os.path.join(opt['path']['visualization'], suffix)
+
+    loader = DataLoader(val_dataset, batch_size=batch_size, shuffle=False,
+                        drop_last=False, collate_fn=default_collate)
+    for batch in loader:
+        latents = np.stack(batch['latents']) if isinstance(
+            batch['latents'], list) else batch['latents']
+        images = pipe(batch['prompts'],
+                      height=latents.shape[-2] * 8,
+                      width=latents.shape[-1] * 8,
+                      num_inference_steps=steps,
+                      guidance_scale=guidance,
+                      negative_prompt=[NEGATIVE_PROMPT] * len(batch['prompts']),
+                      latents=latents)
+        for img, prompt, idx in zip(images, batch['prompts'],
+                                    batch['indices']):
+            name = (f'{safe_filename(prompt)}---G_{guidance}_S_{steps}---'
+                    f'{int(idx):02d}.png')
+            pil_imwrite(array_to_pil(img), os.path.join(vis_dir, name))
+
+    if opt['val'].get('compose_visualize'):
+        return compose_visualize(vis_dir)
+    return vis_dir

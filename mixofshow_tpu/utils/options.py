@@ -1,0 +1,27 @@
+"""YAML experiment config loading (the reference uses OmegaConf —
+train_edlora.py:31; plain yaml + attribute-free dicts suffice here)."""
+from __future__ import annotations
+
+import os
+import random
+from typing import Any, Dict
+
+import numpy as np
+import yaml
+
+
+def load_options(path: str) -> Dict[str, Any]:
+    with open(path) as f:
+        opt = yaml.safe_load(f)
+    opt['opt_path'] = os.path.abspath(path)
+    return opt
+
+
+def set_manual_seed(seed: int):
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+NEGATIVE_PROMPT = ('longbody, lowres, bad anatomy, bad hands, missing fingers,'
+                   ' extra digit, fewer digits, cropped, worst quality,'
+                   ' low quality')
