@@ -81,8 +81,8 @@ def _attn_block(p, x, heads: int, lora=None, lora_alpha=1.0):
     k = dense(p['k'], x, maybe(lora, 'k'), lora_alpha).reshape(b, s, heads, d)
     v = dense(p['v'], x, maybe(lora, 'v'), lora_alpha).reshape(b, s, heads, d)
     out, _ = sdpa(q, k, v, causal=True)
-    out = out.reshape(b, s, c)
-    return dense(p['out'], out, maybe(lora, 'out'), lora_alpha)
+    pre_out = out.reshape(b, s, c)
+    return dense(p['out'], pre_out, maybe(lora, 'out'), lora_alpha), pre_out
 
 
 def embed_tokens(token_embedding: jnp.ndarray, input_ids: jnp.ndarray,
@@ -105,19 +105,41 @@ def clip_text_encode(params, input_ids: jnp.ndarray,
                      cfg: CLIPTextConfig = CLIPTextConfig(),
                      concept_embedding: Optional[jnp.ndarray] = None,
                      lora=None, lora_alpha: float | jnp.ndarray = 1.0,
-                     dtype=None) -> jnp.ndarray:
+                     dtype=None,
+                     capture_grams: bool = False,
+                     token_mask: Optional[jnp.ndarray] = None):
     """Returns last_hidden_state (B, S, width) after the final layer norm —
     the `text_encoder(ids)[0]` the reference consumes (trainer_edlora.py:232).
+
+    With `capture_grams=True` additionally returns, per block, fp32 input
+    Gram matrices of each linear ({'qkv','out','fc1','fc2'}: (C,C) / (M,M)),
+    rows masked by `token_mask` (B, S). This is the functional replacement
+    for the reference's forward hooks feeding gradient fusion
+    (gradient_fusion.py:150-167,492-544) — fusion's least-squares only needs
+    XᵀX, never the activations themselves (see ops/solve.py).
     """
+    from mixofshow_tpu.ops.solve import gram
+
     x = embed_tokens(params['token_embedding'], input_ids, concept_embedding)
     if dtype is not None:
         x = x.astype(dtype)
     x = x + params['position_embedding'][:x.shape[1]].astype(x.dtype)
+    grams = []
     for i, blk in enumerate(params['blocks']):
         blora = maybe(lora, 'blocks', i)
-        x = x + _attn_block(blk['attn'], layer_norm(blk['ln1'], x, cfg.eps),
-                            cfg.heads, maybe(blora, 'attn'), lora_alpha)
+        attn_in = layer_norm(blk['ln1'], x, cfg.eps)
+        attn_out, pre_out = _attn_block(blk['attn'], attn_in, cfg.heads,
+                                        maybe(blora, 'attn'), lora_alpha)
+        x = x + attn_out
         h = layer_norm(blk['ln2'], x, cfg.eps)
-        h = quick_gelu(dense(blk['mlp']['fc1'], h))
-        x = x + dense(blk['mlp']['fc2'], h)
-    return layer_norm(params['final_norm'], x, cfg.eps)
+        mid = quick_gelu(dense(blk['mlp']['fc1'], h))
+        x = x + dense(blk['mlp']['fc2'], mid)
+        if capture_grams:
+            grams.append({'qkv': gram(attn_in, token_mask),
+                          'out': gram(pre_out, token_mask),
+                          'fc1': gram(h, token_mask),
+                          'fc2': gram(mid, token_mask)})
+    out = layer_norm(params['final_norm'], x, cfg.eps)
+    if capture_grams:
+        return out, grams
+    return out

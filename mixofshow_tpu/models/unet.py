@@ -76,6 +76,23 @@ class UNetConfig:
         return down + 1 + up  # +1 for mid — 16 for SD1.5
 
 
+def cross_layer_paths(cfg: UNetConfig):
+    """Param-tree path prefix of each cross-attention transformer block in
+    layer-index order (down→mid→up — the ordering every ED-LoRA mechanism
+    keys on, reference edlora.py:176-190, gradient_fusion.py:331-369)."""
+    paths = []
+    for i, has_cross in enumerate(cfg.down_cross):
+        if has_cross:
+            for j in range(cfg.layers_per_block):
+                paths.append(f'down_blocks/{i}/attentions/{j}')
+    paths.append('mid/attention')
+    for i, has_cross in enumerate(cfg.up_cross):
+        if has_cross:
+            for j in range(cfg.layers_per_block + 1):
+                paths.append(f'up_blocks/{i}/attentions/{j}')
+    return paths
+
+
 # ---------------------------------------------------------------------- init
 def _init_resnet(rng, cin, cout, temb_dim, groups, dtype):
     p = {
@@ -198,8 +215,11 @@ def _resnet(p, x, temb, groups):
 
 
 def mh_attention(p, x, context, heads: int, lora=None, alpha=1.0,
-                 return_probs: bool = False):
-    """diffusers `Attention` equivalent; (B, S, C) in/out."""
+                 return_probs: bool = False, return_pre_out: bool = False):
+    """diffusers `Attention` equivalent; (B, S, C) in/out.
+
+    `return_pre_out` also yields the pre-output-projection tokens (the
+    to_out layer's input — fusion's capture point)."""
     b, s, c = x.shape
     d = c // heads
     q = dense(p['to_q'], x, maybe(lora, 'to_q'), alpha).reshape(b, s, heads, d)
@@ -208,8 +228,11 @@ def mh_attention(p, x, context, heads: int, lora=None, alpha=1.0,
     k = k.reshape(b, -1, heads, d)
     v = v.reshape(b, -1, heads, d)
     out, probs = sdpa(q, k, v, return_probs=return_probs)
-    out = out.reshape(b, s, c)
-    return dense(p['to_out'], out, maybe(lora, 'to_out'), alpha), probs
+    pre_out = out.reshape(b, s, c)
+    out = dense(p['to_out'], pre_out, maybe(lora, 'to_out'), alpha)
+    if return_pre_out:
+        return out, probs, pre_out
+    return out, probs
 
 
 def _geglu_ff(p, x):
@@ -221,20 +244,35 @@ def _geglu_ff(p, x):
 def _transformer(p, x, context, layer_idx: int, place: str, cfg: UNetConfig,
                  lora=None, alpha=1.0,
                  cross_attn_override: Optional[Callable] = None,
-                 return_cross_probs: bool = False):
+                 return_cross_probs: bool = False,
+                 capture_grams: bool = False):
     """Transformer2DModel with one BasicTransformerBlock (SD1.x shape).
 
     `context` is (B, 77, C) or layerwise (B, L, 77, C) — sliced at
-    `layer_idx` here, mirroring EDLoRA_AttnProcessor (edlora.py:130-131)."""
+    `layer_idx` here, mirroring EDLoRA_AttnProcessor (edlora.py:130-131).
+
+    `capture_grams` additionally emits fp32 input Gram matrices for the
+    spatial linears fusion optimizes (attn1 q/k/v/out, attn2 q/out —
+    reference gradient_fusion.py:637-641 hook targets); attn2 k/v inputs are
+    text features handled by the cross-KV phase instead."""
+    from mixofshow_tpu.ops.solve import gram
+
     b, h, w, c = x.shape
     residual = x
     hid = group_norm(p['norm'], x, cfg.norm_groups, eps=1e-6)
     hid = conv2d(p['proj_in'], hid).reshape(b, h * w, c)
 
+    grams = {}
+
     # self-attention
     attn_in = layer_norm(p['ln1'], hid)
-    sa, _ = mh_attention(p['attn1'], attn_in, attn_in, cfg.attention_heads,
-                         maybe(lora, 'attn1'), alpha)
+    sa, _, sa_pre = mh_attention(p['attn1'], attn_in, attn_in,
+                                 cfg.attention_heads,
+                                 maybe(lora, 'attn1'), alpha,
+                                 return_pre_out=True)
+    if capture_grams:
+        grams['attn1_qkv'] = gram(attn_in)
+        grams['attn1_out'] = gram(sa_pre)
     hid = hid + sa
 
     # cross-attention (the ED-LoRA layer-indexed slot)
@@ -244,17 +282,24 @@ def _transformer(p, x, context, layer_idx: int, place: str, cfg: UNetConfig,
     if cross_attn_override is not None:
         ca = cross_attn_override(p['attn2'], attn_in, ctx, layer_idx, place,
                                  (h, w), maybe(lora, 'attn2'), alpha)
+        ca_pre = None
     else:
-        ca, probs = mh_attention(p['attn2'], attn_in, ctx,
-                                 cfg.attention_heads, maybe(lora, 'attn2'),
-                                 alpha, return_probs=return_cross_probs)
+        ca, probs, ca_pre = mh_attention(p['attn2'], attn_in, ctx,
+                                         cfg.attention_heads,
+                                         maybe(lora, 'attn2'),
+                                         alpha, return_probs=return_cross_probs,
+                                         return_pre_out=True)
+    if capture_grams:
+        grams['attn2_q'] = gram(attn_in)
+        if ca_pre is not None:
+            grams['attn2_out'] = gram(ca_pre)
     hid = hid + ca
 
     # feed-forward (GEGLU)
     hid = hid + _geglu_ff(p['ff'], layer_norm(p['ln3'], hid))
 
     hid = conv2d(p['proj_out'], hid.reshape(b, h, w, c))
-    return hid + residual, probs
+    return hid + residual, probs, grams
 
 
 def unet_apply(params, sample: jnp.ndarray, timesteps: jnp.ndarray,
@@ -264,6 +309,7 @@ def unet_apply(params, sample: jnp.ndarray, timesteps: jnp.ndarray,
                adapter_features: Optional[Sequence[jnp.ndarray]] = None,
                cross_attn_override: Optional[Callable] = None,
                return_cross_probs: bool = False,
+               capture_grams: bool = False,
                remat: bool = False):
     """Predict noise/velocity. sample: (B, H, W, 4) NHWC; timesteps: (B,) or
     scalar; encoder_hidden_states: (B, 77, C) or layerwise (B, L, 77, C).
@@ -279,17 +325,18 @@ def unet_apply(params, sample: jnp.ndarray, timesteps: jnp.ndarray,
 
     ehs = encoder_hidden_states.astype(dt)
     probs_out: List = []
+    grams_out: dict = {}
     layer_idx = 0
 
     tfm = _transformer
     if remat:
         tfm = jax.checkpoint(_transformer,
-                             static_argnums=(3, 4, 5, 8, 9),
+                             static_argnums=(3, 4, 5, 8, 9, 10),
                              policy=jax.checkpoint_policies.nothing_saveable)
 
     def run_pair(p_attn, x, idx, place, blora):
         return tfm(p_attn, x, ehs, idx, place, cfg, blora, lora_alpha,
-                   cross_attn_override, return_cross_probs)
+                   cross_attn_override, return_cross_probs, capture_grams)
 
     x = conv2d(params['conv_in'], sample)
     residuals = [x]
@@ -301,10 +348,12 @@ def unet_apply(params, sample: jnp.ndarray, timesteps: jnp.ndarray,
         for j, res_p in enumerate(block['resnets']):
             x = _resnet(res_p, x, temb, cfg.norm_groups)
             if has_cross:
-                x, pr = run_pair(block['attentions'][j], x, layer_idx, 'down',
-                                 maybe(blora, 'attentions', j))
+                x, pr, gr = run_pair(block['attentions'][j], x, layer_idx,
+                                     'down', maybe(blora, 'attentions', j))
                 if pr is not None:
                     probs_out.append(('down', layer_idx, pr))
+                if gr:
+                    grams_out[layer_idx] = gr
                 layer_idx += 1
             residuals.append(x)
         if adapter_features is not None and i < len(adapter_features):
@@ -322,10 +371,12 @@ def unet_apply(params, sample: jnp.ndarray, timesteps: jnp.ndarray,
 
     # ---- mid
     x = _resnet(params['mid']['resnet1'], x, temb, cfg.norm_groups)
-    x, pr = run_pair(params['mid']['attention'], x, layer_idx, 'mid',
-                     maybe(lora, 'mid', 'attention'))
+    x, pr, gr = run_pair(params['mid']['attention'], x, layer_idx, 'mid',
+                         maybe(lora, 'mid', 'attention'))
     if pr is not None:
         probs_out.append(('mid', layer_idx, pr))
+    if gr:
+        grams_out[layer_idx] = gr
     layer_idx += 1
     x = _resnet(params['mid']['resnet2'], x, temb, cfg.norm_groups)
 
@@ -338,10 +389,12 @@ def unet_apply(params, sample: jnp.ndarray, timesteps: jnp.ndarray,
             x = _resnet(res_p, jnp.concatenate([x, skip], axis=-1), temb,
                         cfg.norm_groups)
             if has_cross:
-                x, pr = run_pair(block['attentions'][j], x, layer_idx, 'up',
-                                 maybe(blora, 'attentions', j))
+                x, pr, gr = run_pair(block['attentions'][j], x, layer_idx,
+                                     'up', maybe(blora, 'attentions', j))
                 if pr is not None:
                     probs_out.append(('up', layer_idx, pr))
+                if gr:
+                    grams_out[layer_idx] = gr
                 layer_idx += 1
         if 'upsample' in block:
             b, h, w, c = x.shape
@@ -350,5 +403,9 @@ def unet_apply(params, sample: jnp.ndarray, timesteps: jnp.ndarray,
 
     x = group_norm(params['norm_out'], x, cfg.norm_groups, act='silu')
     out = conv2d(params['conv_out'], x)
-    aux = {'cross_probs': probs_out} if return_cross_probs else {}
+    aux = {}
+    if return_cross_probs:
+        aux['cross_probs'] = probs_out
+    if capture_grams:
+        aux['grams'] = grams_out
     return out, aux

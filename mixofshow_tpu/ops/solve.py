@@ -1,0 +1,95 @@
+"""Batched anchored least-squares — the fusion solver.
+
+TPU-native replacement for the reference's per-layer sequential LBFGS with
+strong-Wolfe line search (gradient_fusion.py:38-96: 500 iters/layer text
+encoder, 50/layer UNet). Two observations make a closed form exact:
+
+  1. Every fusion target is linear in the captured inputs: V_c = X_c @ Wm_c
+     (the concept-merged layer applied to that concept's activations,
+     gradient_fusion.py:397-429 and the hook-captured outputs-minus-bias).
+     Therefore the least-squares problem only needs GRAM matrices
+     G_c = X_cᵀ X_c and the (small) LoRA deltas — no feature storage:
+        min_W Σ_c ‖X_c W − X_c Wm_c‖²     (W in (in, out) kernel layout)
+        ⇔  (Σ_c G_c) ΔW = Σ_c G_c (Wm_c − W₀),   W = W₀ + ΔW
+  2. A quadratic objective optimized from W₀ by an iterative method (what
+     LBFGS-from-W₀ approximates) converges to the minimizer closest to W₀ —
+     i.e. ΔW restricted to the row space of the inputs. The spectral solve
+     below computes exactly that: eigendecompose G, invert only retained
+     eigendirections, leave the null space at the anchor. Solving for the
+     (small) delta rather than W keeps fp32 rounding noise from being
+     amplified through near-zero eigenvalues.
+
+  On TPU this turns hours of per-layer line searches into one batched eigh
+  solve vmapped over layers (shardable over the mesh's 'model' axis), with
+  a smaller residual than truncated LBFGS by construction.
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gram(x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """XᵀX over all leading dims: x (..., N, F) → (F, F), fp32 accumulate.
+
+    `mask` (..., N) zeroes padded rows (e.g. tokenizer padding — the
+    reference avoids them via do_not_pad, gradient_fusion.py:188-195)."""
+    xf = x.astype(jnp.float32)
+    if mask is not None:
+        xf = xf * mask.astype(jnp.float32)[..., None]
+    xf = xf.reshape(-1, xf.shape[-1])
+    return jnp.dot(xf.T, xf, preferred_element_type=jnp.float32)
+
+
+@jax.jit
+def anchored_spectral_solve(g_sum: jnp.ndarray, d_sum: jnp.ndarray,
+                            w0: jnp.ndarray, lam: jnp.ndarray,
+                            rank_tol: jnp.ndarray) -> jnp.ndarray:
+    """W = W₀ + V ((VᵀD) / (e + λ·e_max)) restricted to e > tol·e_max.
+
+    g_sum: (F, F) summed input Gram; d_sum: (F, O) = Σ_c G_c (Wm_c − W₀);
+    w0: (F, O) anchor in kernel layout; lam: relative ridge inside the
+    retained spectrum; rank_tol: relative eigenvalue cutoff below which
+    directions are treated as unobserved (ΔW = 0 there — the anchor wins).
+    """
+    e, v = jnp.linalg.eigh(g_sum)
+    emax = jnp.maximum(e[-1], 1e-30)
+    keep = e > rank_tol * emax
+    inv = jnp.where(keep, 1.0 / (e + lam * emax), 0.0)
+    dw = v @ (inv[:, None] * (v.T @ d_sum))
+    return w0 + dw
+
+
+@jax.jit
+def _batched_solve(g, d, w0, lam, rank_tol):
+    return jax.vmap(anchored_spectral_solve,
+                    in_axes=(0, 0, 0, None, None))(g, d, w0, lam, rank_tol)
+
+
+def solve_layer_group(grams: List[np.ndarray], deltas: List[np.ndarray],
+                      anchors: List[np.ndarray],
+                      lam: float = 1e-4,
+                      rank_tol: float = 1e-6) -> List[np.ndarray]:
+    """Solve many layers at once, grouping same-shape layers into one
+    batched (vmapped) spectral solve. All arrays are kernel-layout (F, O);
+    `deltas[i]` = Σ_c G_c (Wm_c − W₀) for layer i.
+
+    Residual reporting is the caller's job (the reference logs per-layer
+    residuals, gradient_fusion.py:87-95)."""
+    order: dict[Tuple[int, int], List[int]] = {}
+    for i, (g, t) in enumerate(zip(grams, deltas)):
+        order.setdefault((g.shape[0], t.shape[1]), []).append(i)
+
+    out: List[np.ndarray] = [None] * len(grams)  # type: ignore
+    for shape, idxs in order.items():
+        g = jnp.stack([jnp.asarray(grams[i], jnp.float32) for i in idxs])
+        d = jnp.stack([jnp.asarray(deltas[i], jnp.float32) for i in idxs])
+        w = jnp.stack([jnp.asarray(anchors[i], jnp.float32) for i in idxs])
+        solved = np.asarray(_batched_solve(g, d, w, jnp.float32(lam),
+                                           jnp.float32(rank_tol)))
+        for j, i in enumerate(idxs):
+            out[i] = solved[j]
+    return out
