@@ -1,0 +1,135 @@
+"""Regional pipeline: box masks, region rewrite semantics, adapter weights,
+T2I-Adapter shapes, end-to-end sampling."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixofshow_tpu.models import (CLIPTextConfig, UNetConfig, VAEConfig,
+                                  init_clip_text, init_unet, init_vae)
+from mixofshow_tpu.models.t2i_adapter import (T2IAdapterConfig,
+                                              init_t2i_adapter,
+                                              pixel_unshuffle,
+                                              t2i_adapter_apply)
+from mixofshow_tpu.pipelines import RegionallyT2IAdapterPipeline, init_concepts
+from mixofshow_tpu.pipelines.pipeline_regional import (_box_mask,
+                                                       parse_region_weight_spec)
+from mixofshow_tpu.text import CLIPTokenizer
+
+U = UNetConfig.tiny()
+C = CLIPTextConfig(width=U.cross_attention_dim, layers=2, heads=2,
+                   mlp_dim=128, vocab_size=49408)
+V = VAEConfig(block_out_channels=(16, 32, 32, 32), norm_groups=8)
+
+
+def test_box_mask_rounding():
+    m = np.asarray(_box_mask(jnp.asarray([0.25, 0.5, 0.75, 1.0]), 8, 8))
+    # ceil(0.25*8)=2, floor(0.75*8)=6, ceil(0.5*8)=4, floor(1.0*8)=8
+    assert m[2:6, 4:8].all() and m.sum() == 4 * 4
+
+
+def test_parse_region_weight_spec():
+    wmap = parse_region_weight_spec('[0, 0, 256, 256]-0.5|[256,256,512,512]-2.0',
+                                    512, 512, 8, 8, base_weight=1.0)
+    assert wmap[0, 0] == 0.5 and wmap[7, 7] == 2.0 and wmap[0, 7] == 1.0
+
+
+def test_pixel_unshuffle_matches_torch():
+    import torch
+    x = np.random.default_rng(0).normal(size=(1, 3, 16, 16)).astype(np.float32)
+    ours = np.asarray(pixel_unshuffle(
+        jnp.asarray(x.transpose(0, 2, 3, 1)), 8))
+    theirs = torch.pixel_unshuffle(torch.from_numpy(x), 8).numpy()
+    np.testing.assert_allclose(ours, theirs.transpose(0, 2, 3, 1), atol=1e-6)
+
+
+def test_t2i_adapter_shapes():
+    cfg = T2IAdapterConfig.tiny()
+    params = init_t2i_adapter(0, cfg)
+    feats = t2i_adapter_apply(params, jnp.zeros((1, 64, 64, 3)), cfg)
+    assert [f.shape for f in feats] == [
+        (1, 8, 8, 32), (1, 4, 4, 64), (1, 2, 2, 128), (1, 1, 1, 128)]
+
+
+@pytest.fixture(scope='module')
+def pipe():
+    tok = CLIPTokenizer()
+    te = init_clip_text(0, C)
+    cfg_a, table_a = init_concepts(tok, '<a1> <a2>', None,
+                                   np.asarray(te['token_embedding']))
+    # fused checkpoints carry the concept rows inside the expanded table;
+    # emulate that by concatenating and enlarging the config vocab
+    te = dict(te)
+    te['token_embedding'] = jnp.concatenate(
+        [jnp.asarray(te['token_embedding']), jnp.asarray(table_a)])
+    big_c = dataclasses.replace(C, vocab_size=49408 + 16)
+    return RegionallyT2IAdapterPipeline(
+        init_unet(1, U), te, init_vae(2, V), tokenizer=tok,
+        unet_config=U, text_config=big_c, vae_config=V,
+        new_concept_cfg=cfg_a,
+        keypose_adapter=init_t2i_adapter(3, T2IAdapterConfig.tiny(3)),
+        keypose_config=T2IAdapterConfig.tiny(3),
+        sketch_adapter=init_t2i_adapter(4, T2IAdapterConfig.tiny(1)),
+        sketch_config=T2IAdapterConfig.tiny(1),
+        dtype=jnp.float32)
+
+
+def _prompt(regions):
+    return [('two people near a lake', regions)]
+
+
+def test_regional_sampling_no_regions(pipe):
+    img = pipe(_prompt([]), height=64, width=64, num_inference_steps=2,
+               seed=0)
+    assert img.shape == (1, 64, 64, 3) and np.isfinite(img).all()
+
+
+def test_regional_sampling_with_regions_and_adapters(pipe):
+    from PIL import Image
+    regions = [
+        ('a <a1> <a2> person', 'lowres', [0.0, 0.0, 1.0, 0.5]),
+        ('a tree', '', [0.0, 0.5, 1.0, 1.0]),
+    ]
+    keypose = Image.fromarray(np.zeros((64, 64, 3), np.uint8))
+    img = pipe(_prompt(regions), height=64, width=64, num_inference_steps=2,
+               keypose_adapter_input=[keypose], keypose_adaptor_weight=0.8,
+               region_keypose_adaptor_weight='[0,0,32,32]-0.5',
+               seed=0)
+    assert img.shape == (1, 64, 64, 3) and np.isfinite(img).all()
+
+
+def test_region_rewrite_changes_inside_box_only(pipe):
+    """With a half-image box, latents inside the box must differ from the
+    no-region run; the pure-context half should stay close at step 1."""
+    lat = np.random.default_rng(3).normal(size=(1, 8, 8, 4)).astype(np.float32)
+    base = pipe(_prompt([]), height=64, width=64, num_inference_steps=1,
+                latents=lat, output_type='latent')
+    regions = [('a <a1> <a2> person', '', [0.0, 0.0, 1.0, 0.5])]
+    reg = pipe(_prompt(regions), height=64, width=64, num_inference_steps=1,
+               latents=lat, output_type='latent')
+    # inside (left half) must change
+    assert not np.allclose(base[:, :, :4], reg[:, :, :4], atol=1e-4)
+    # outside keeps the context attention result, but self-attention/convs
+    # propagate some change across the image within one UNet forward — so
+    # assert the inside effect dominates rather than exact equality
+    d_in = np.abs(base[:, :, :4] - reg[:, :, :4]).mean()
+    d_out = np.abs(base[:, :, 4:] - reg[:, :, 4:]).mean()
+    assert d_in > d_out
+
+
+def test_region_layouts_share_compiled_program(pipe):
+    """Same region COUNT, different boxes → no recompile (traced boxes)."""
+    lat = np.random.default_rng(5).normal(size=(1, 8, 8, 4)).astype(np.float32)
+    r1 = [('a <a1> <a2>', '', [0.0, 0.0, 1.0, 0.5])]
+    r2 = [('a <a1> <a2>', '', [0.5, 0.5, 1.0, 1.0])]
+    from mixofshow_tpu.pipelines.pipeline_regional import _regional_sample_loop
+    before = _regional_sample_loop._cache_size()
+    pipe(_prompt(r1), height=64, width=64, num_inference_steps=1,
+         latents=lat, output_type='latent')
+    mid = _regional_sample_loop._cache_size()
+    pipe(_prompt(r2), height=64, width=64, num_inference_steps=1,
+         latents=lat, output_type='latent')
+    after = _regional_sample_loop._cache_size()
+    assert after == mid  # second layout hit the cache
