@@ -86,7 +86,7 @@ def layer_norm(p, x, eps: float = 1e-5):
 
 # ------------------------------------------------------------------ attention
 def sdpa(q, k, v, scale: Optional[float] = None, causal: bool = False,
-         return_probs: bool = False):
+         return_probs: bool = False, impl: str = 'auto'):
     """Multi-head scaled dot-product attention, (B, S, H, D) layout.
 
     fp32 softmax (numerically matches the reference's
@@ -94,7 +94,18 @@ def sdpa(q, k, v, scale: Optional[float] = None, causal: bool = False,
     softmax probabilities for the AttentionStore / attention-regularization
     path (reference: edlora.py:81-83, ptp_util.py) — callers must only
     request it on small maps.
+
+    `impl='auto'` routes large unmasked attention to the Pallas flash kernel
+    on TPU (ops/flash_attention.py — the xformers replacement); probs
+    capture, causal masks, small key counts (cross-attn's 77), and non-TPU
+    backends take the dense XLA path.
     """
+    if (impl in ('auto', 'flash') and not causal and not return_probs
+            and scale is None and jax.default_backend() == 'tpu'):
+        from mixofshow_tpu.ops.flash_attention import (
+            flash_attention, flash_attention_supported)
+        if flash_attention_supported(q.shape[1], k.shape[1], q.shape[-1]):
+            return flash_attention(q, k, v), None
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     logits = jnp.einsum('bqhd,bkhd->bhqk', q, k,

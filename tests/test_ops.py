@@ -1,0 +1,62 @@
+"""Pallas flash attention (interpret mode on CPU) + ptp attention store."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixofshow_tpu.ops.flash_attention import (flash_attention,
+                                               flash_attention_supported)
+from mixofshow_tpu.utils.ptp import AttentionStore, aggregate_attention
+
+
+def _dense(q, k, v):
+    d = q.shape[-1]
+    logits = jnp.einsum('bqhd,bkhd->bhqk', q.astype(jnp.float32),
+                        k.astype(jnp.float32)) / math.sqrt(d)
+    return jnp.einsum('bhqk,bkhd->bqhd', jax.nn.softmax(logits, -1),
+                      v.astype(jnp.float32))
+
+
+@pytest.mark.parametrize('s,d,h', [(256, 40, 2), (256, 160, 2), (128, 80, 1)])
+def test_flash_matches_dense(s, d, h):
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, s, h, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, s, h, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, s, h, d), jnp.float32)
+    out = flash_attention(q, k, v, block_q=64, block_k=64)
+    ref = _dense(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+def test_flash_cross_attention_shape():
+    # cross-shape (sk != sq) with compatible block counts
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 256, 2, 40))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 2, 40))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 128, 2, 40))
+    out = flash_attention(q, k, v, block_q=64, block_k=64)
+    ref = _dense(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+def test_flash_supported_rules():
+    assert flash_attention_supported(4096, 4096, 40)
+    assert flash_attention_supported(1024, 1024, 160)
+    assert not flash_attention_supported(4096, 77, 40)   # text keys → dense
+    assert not flash_attention_supported(64, 64, 512)    # VAE head too wide
+
+
+def test_attention_store_average():
+    store = AttentionStore(training=True)
+    # two "steps" of one 8x8-res map (q=64), 2 heads, K=77
+    m1 = np.zeros((1, 2, 64, 77), np.float32)
+    m2 = np.ones((1, 2, 64, 77), np.float32)
+    store.store_step([('down', 0, m1)])
+    store.store_step([('down', 0, m2)])
+    avg = store.get_average_attention()
+    np.testing.assert_allclose(avg['down_cross'][0], 0.5)
+    agg = aggregate_attention(store, 8, ('down',))
+    assert agg.shape == (8, 8, 77)
+    np.testing.assert_allclose(agg, 0.5)
+    store.reset()
+    assert store.cur_step == 0 and not store.attention_store
