@@ -398,7 +398,10 @@ def unet_apply(params, sample: jnp.ndarray, timesteps: jnp.ndarray,
                 layer_idx += 1
         if 'upsample' in block:
             b, h, w, c = x.shape
-            x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method='nearest')
+            # nearest 2x via broadcast-reshape (no gather lowering)
+            x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                                 (b, h, 2, w, 2, c)).reshape(b, 2 * h,
+                                                             2 * w, c)
             x = conv2d(block['upsample'], x)
 
     x = group_norm(params['norm_out'], x, cfg.norm_groups, act='silu')

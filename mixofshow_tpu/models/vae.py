@@ -186,7 +186,10 @@ def vae_decode(params, latents: jnp.ndarray,
             x = _resnet(r, x, cfg.norm_groups)
         if 'upsample' in stage:
             b, h, w, c = x.shape
-            x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method='nearest')
+            # nearest 2x via broadcast-reshape (no gather lowering)
+            x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                                 (b, h, 2, w, 2, c)).reshape(b, 2 * h,
+                                                             2 * w, c)
             x = conv2d(stage['upsample'], x)
     x = group_norm(params['decoder']['norm_out'], x, cfg.norm_groups,
                    eps=EPS, act='silu')

@@ -22,12 +22,14 @@ initialized_loggers = set()
 
 def mkdir_and_rename(path: str):
     """mkdir; if it exists, archive the old one with a timestamp suffix
-    (reference util.py:25-35)."""
+    (reference util.py:25-35). Returns the archived path or None."""
+    archived = None
     if os.path.exists(path):
-        new_name = path + '_archived_' + time.strftime('%Y%m%d_%H%M%S')
-        print(f'Path already exists. Rename it to {new_name}', flush=True)
-        os.rename(path, new_name)
+        archived = path + '_archived_' + time.strftime('%Y%m%d_%H%M%S')
+        print(f'Path already exists. Rename it to {archived}', flush=True)
+        os.rename(path, archived)
     os.makedirs(path, exist_ok=True)
+    return archived
 
 
 def copy_opt_file(opt_path: str, experiments_root: str):
@@ -72,7 +74,7 @@ def set_path_logger(opt: Dict, opt_path: str, is_train: bool = True,
     opt['path']['models'] = os.path.join(exp_root, 'models')
     opt['path']['log'] = exp_root
     opt['path']['visualization'] = os.path.join(exp_root, 'visualization')
-    mkdir_and_rename(exp_root)
+    opt['path']['archived_root'] = mkdir_and_rename(exp_root)
     os.makedirs(opt['path']['models'], exist_ok=True)
     os.makedirs(opt['path']['visualization'], exist_ok=True)
     copy_opt_file(opt_path, exp_root)

@@ -108,3 +108,66 @@ def test_edlora_delta_conversion():
                        'mid/attention/attn1/to_out'}
     assert ul['down_blocks/0/attentions/1/attn2/to_k']['down'].shape == (64, 4)
     assert ul['down_blocks/0/attentions/1/attn2/to_k']['up'].shape == (4, 32)
+
+
+def test_convert_edlora_merge_api():
+    """Explicit deploy-time merge (reference convert_edlora_to_diffusers)."""
+    from mixofshow_tpu.convert.convert_edlora import convert_edlora
+    from mixofshow_tpu.models import lora as lora_lib
+    from mixofshow_tpu.text import CLIPTokenizer
+    import jax
+
+    te = init_clip_text(0, TINY_C)
+    unet = init_unet(1, TINY_U)
+    text_lora = lora_lib.init_lora_tree(2, te, lambda p: '/attn/' in p)
+    unet_lora = lora_lib.init_lora_tree(3, unet, lambda p: '/attn2/' in p)
+    text_lora = jax.tree.map(lambda a: a + 0.02, text_lora)
+    delta = {
+        'new_concept_embedding': {'<x1>': np.ones((16, TINY_C.width))},
+        'text_lora': text_lora, 'unet_lora': unet_lora,
+    }
+    tok = CLIPTokenizer()
+    te2, unet2, cfg, table = convert_edlora(te, unet, tok, delta, alpha=0.7)
+    assert cfg['<x1>']['concept_token_ids'][0] == 49408
+    assert table.shape == (16, TINY_C.width)
+    a = np.asarray(te['blocks'][0]['attn']['q']['kernel'])
+    b = np.asarray(te2['blocks'][0]['attn']['q']['kernel'])
+    assert not np.allclose(a, b)
+    # alpha=0 leaves weights untouched
+    te0, unet0, _, _ = convert_edlora(te, unet, CLIPTokenizer(), delta,
+                                      alpha=0.0)
+    np.testing.assert_array_equal(
+        np.asarray(te0['blocks'][0]['attn']['q']['kernel']), a)
+
+
+def test_train_state_checkpoint_roundtrip(tmp_path):
+    from mixofshow_tpu.utils.checkpoint import (load_train_state,
+                                                save_train_state)
+    from mixofshow_tpu.pipelines.trainer_edlora import (EDLoRATrainer,
+                                                        make_optimizer)
+    from mixofshow_tpu.text import CLIPTokenizer
+    from mixofshow_tpu.models import init_vae
+    import jax
+    import jax.numpy as jnp
+
+    ft = {'text_embedding': {'enable_tuning': True, 'lr': 1e-3},
+          'text_encoder': {'enable_tuning': True, 'lr': 1e-5,
+                           'lora_cfg': {'rank': 4}},
+          'unet': {'enable_tuning': True, 'lr': 1e-4,
+                   'lora_cfg': {'rank': 4}}}
+    tr = EDLoRATrainer(init_unet(0, TINY_U), init_clip_text(1, TINY_C),
+                       init_vae(2, TINY_V), tokenizer=CLIPTokenizer(),
+                       unet_config=TINY_U, text_config=TINY_C,
+                       vae_config=TINY_V, new_concept_token='<x1>+<x2>',
+                       initializer_token='<rand-0.01>+<rand-0.02>',
+                       finetune_cfg=ft, compute_dtype=jnp.float32)
+    opt = make_optimizer(ft, 10)
+    state = tr.init_state(opt)
+    import dataclasses
+    state = dataclasses.replace(state, step=jnp.asarray(7, jnp.int32))
+    save_train_state(str(tmp_path / 'ck'), state)
+    restored = load_train_state(str(tmp_path / 'ck'), tr.init_state(opt))
+    assert int(restored.step) == 7
+    np.testing.assert_array_equal(
+        np.asarray(restored.trainable['concept_embedding']),
+        np.asarray(state.trainable['concept_embedding']))

@@ -63,6 +63,10 @@ def save_and_validation(opt, trainer, bundle, state, val_dataset, tag, logger):
     delta = trainer.delta_state_dict(state)
     save_edlora_delta(save_path, delta)
     logger.info(f'Save state to {save_path}')
+    # full-state checkpoint for exact resume (capability the reference lacks)
+    from mixofshow_tpu.utils.checkpoint import save_train_state
+    save_train_state(os.path.join(opt['path']['models'],
+                                  f'train_state-{tag}'), state)
 
     if not opt['val'].get('val_during_save'):
         return
@@ -127,6 +131,20 @@ def train(args):
     optimizer = make_optimizer(trainer.finetune_cfg, total_iter,
                                opt['train'].get('optim_g'))
     state = trainer.init_state(optimizer)
+    if args.resume:
+        from mixofshow_tpu.utils.checkpoint import load_train_state
+        resume_path = args.resume
+        # launching with the same experiment name archives the previous dir;
+        # follow the checkpoint into its archived location
+        archived = opt['path'].get('archived_root')
+        exp_root = opt['path']['experiments_root']
+        if archived and not os.path.exists(resume_path) and \
+                os.path.abspath(resume_path).startswith(
+                    os.path.abspath(exp_root)):
+            resume_path = os.path.abspath(resume_path).replace(
+                os.path.abspath(exp_root), archived, 1)
+        state = load_train_state(resume_path, state)
+        logger.info(f'resumed from {resume_path} at step {int(state.step)}')
     step_fn = trainer.make_train_step(optimizer)
     msg_logger = MessageLogger(opt, 1)
 
@@ -139,7 +157,7 @@ def train(args):
     save_freq = int(opt.get('logger', {}).get('save_checkpoint_freq', 1e10))
     rng = jax.random.PRNGKey(opt.get('manual_seed', 0))
 
-    global_step = 0
+    global_step = int(state.step)
     yielder = train_loader.infinite()
     while global_step < total_iter:
         batch = next(yielder)
@@ -167,5 +185,7 @@ def train(args):
 if __name__ == '__main__':
     parser = argparse.ArgumentParser()
     parser.add_argument('-opt', type=str, required=True)
+    parser.add_argument('--resume', type=str, default=None,
+                        help='train_state checkpoint dir to resume from')
     args = parser.parse_args()
     train(args)
