@@ -92,11 +92,15 @@ def embed_tokens(token_embedding: jnp.ndarray, input_ids: jnp.ndarray,
     Two clipped gathers + select — never materializes a concatenated table,
     so the frozen base table costs no extra HBM traffic per step."""
     vocab_size = token_embedding.shape[0]
-    base = token_embedding[jnp.clip(input_ids, 0, vocab_size - 1)]
+    # jnp.asarray: params may be host numpy (lazy placement), and numpy
+    # arrays cannot be indexed by tracers
+    table = jnp.asarray(token_embedding)
+    base = table[jnp.clip(input_ids, 0, vocab_size - 1)]
     if concept_embedding is None:
         return base
     n_new = concept_embedding.shape[0]
-    new = concept_embedding[jnp.clip(input_ids - vocab_size, 0, n_new - 1)]
+    new = jnp.asarray(concept_embedding)[
+        jnp.clip(input_ids - vocab_size, 0, n_new - 1)]
     is_new = (input_ids >= vocab_size)[..., None]
     return jnp.where(is_new, new.astype(base.dtype), base)
 

@@ -143,10 +143,13 @@ def init_dense(rng, in_dim: int, out_dim: int, bias: bool = True,
     """torch nn.Linear default init (kaiming uniform a=sqrt(5) ~ U[-1/sqrt(in), +])."""
     rng = as_rng(rng)
     bound = 1.0 / math.sqrt(in_dim)
-    p = {'kernel': jnp.asarray(
-        rng.uniform(-bound, bound, (in_dim, out_dim)), dtype)}
+    # host numpy — device placement happens in one batched transfer at the
+    # first jit call (eager per-leaf transfers are pathological on
+    # remote-device setups: ~700 round trips for the SD1.5 UNet)
+    p = {'kernel': rng.uniform(-bound, bound,
+                               (in_dim, out_dim)).astype(dtype)}
     if bias:
-        p['bias'] = jnp.asarray(rng.uniform(-bound, bound, (out_dim,)), dtype)
+        p['bias'] = rng.uniform(-bound, bound, (out_dim,)).astype(dtype)
     return p
 
 
@@ -155,21 +158,21 @@ def init_conv2d(rng, kh: int, kw: int, in_dim: int, out_dim: int,
     rng = as_rng(rng)
     fan_in = kh * kw * in_dim
     bound = 1.0 / math.sqrt(fan_in)
-    p = {'kernel': jnp.asarray(
-        rng.uniform(-bound, bound, (kh, kw, in_dim, out_dim)), dtype)}
+    p = {'kernel': rng.uniform(-bound, bound,
+                               (kh, kw, in_dim, out_dim)).astype(dtype)}
     if bias:
-        p['bias'] = jnp.asarray(rng.uniform(-bound, bound, (out_dim,)), dtype)
+        p['bias'] = rng.uniform(-bound, bound, (out_dim,)).astype(dtype)
     return p
 
 
 def init_norm(dim: int, dtype=jnp.float32):
-    return {'scale': jnp.ones((dim,), dtype), 'bias': jnp.zeros((dim,), dtype)}
+    return {'scale': np.ones((dim,), dtype), 'bias': np.zeros((dim,), dtype)}
 
 
 def init_embedding(rng, num: int, dim: int, scale: float = 0.02,
                    dtype=jnp.float32):
     rng = as_rng(rng)
-    return jnp.asarray(rng.normal(0.0, scale, (num, dim)), dtype)
+    return rng.normal(0.0, scale, (num, dim)).astype(dtype)
 
 
 # ------------------------------------------------------------------- helpers

@@ -20,6 +20,7 @@ from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mixofshow_tpu.models.layers import as_rng
 
@@ -30,8 +31,8 @@ def init_lora_leaf(rng, in_dim: int, out_dim: int, rank: int = 4,
     rng = as_rng(rng)
     bound = 1.0 / math.sqrt(in_dim)
     return {
-        'down': jnp.asarray(rng.uniform(-bound, bound, (in_dim, rank)), dtype),
-        'up': jnp.zeros((rank, out_dim), dtype),
+        'down': rng.uniform(-bound, bound, (in_dim, rank)).astype(dtype),
+        'up': np.zeros((rank, out_dim), dtype),
     }
 
 
