@@ -8,6 +8,12 @@ Baseline: the driver north-star of 2 images/sec/chip at 512x512/50 steps
 Runs the full EDLoRAPipeline compute path (CLIP encode -> scan denoise with
 CFG -> VAE decode) on SD1.5-sized models in bf16. Weights are random — no SD
 checkpoint ships in this environment — which exercises identical compute.
+
+BENCH_MODE selects the BASELINE.md metric set:
+  sample (default) — 512x512 50-step images/sec/chip
+  train            — ED-LoRA tuning steps/sec (512x512, batch 2, masked loss
+                     + attention regularization, the reference's operating
+                     point, BASELINE.md)
 """
 import json
 import os
@@ -17,7 +23,71 @@ import time
 import numpy as np
 
 
+def bench_train():
+    import jax
+    import jax.numpy as jnp
+    from mixofshow_tpu.models import (CLIPTextConfig, UNetConfig, VAEConfig,
+                                      init_clip_text, init_unet, init_vae)
+    from mixofshow_tpu.pipelines.concepts import bind_concept_prompt
+    from mixofshow_tpu.pipelines.trainer_edlora import (EDLoRATrainer,
+                                                        make_optimizer)
+    from mixofshow_tpu.text import CLIPTokenizer
+
+    batch = int(os.environ.get('BENCH_BATCH', '2'))
+    size = int(os.environ.get('BENCH_SIZE', '512'))
+    ft = {'text_embedding': {'enable_tuning': True, 'lr': 1e-3},
+          'text_encoder': {'enable_tuning': True, 'lr': 1e-5,
+                           'lora_cfg': {'rank': 4}},
+          'unet': {'enable_tuning': True, 'lr': 1e-4,
+                   'lora_cfg': {'rank': 4}}}
+    trainer = EDLoRATrainer(
+        init_unet(0, UNetConfig.sd15()), init_clip_text(1, CLIPTextConfig.sd15()),
+        init_vae(2, VAEConfig.sd15()), tokenizer=CLIPTokenizer(),
+        new_concept_token='<c1>+<c2>',
+        initializer_token='<rand-0.013>+<rand-0.017>',
+        finetune_cfg=ft, noise_offset=0.01, attn_reg_weight=0.01,
+        reg_full_identity=False)
+    opt = make_optimizer(ft, 1000)
+    state = trainer.init_state(opt)
+    step = trainer.make_train_step(opt)
+
+    bound = bind_concept_prompt(['a photo of <c1> <c2>'] * batch,
+                                trainer.new_concept_cfg)
+    ids = trainer.tokenizer(bound).reshape(batch, 16, 77)
+    pos = [i for i, t in enumerate(ids[0, 0])
+           if t in trainer.concept_token_ids]
+    rng = np.random.default_rng(0)
+    lat = size // 8
+    masks = np.ones((batch, lat, lat, 1), np.float32)
+    masks[:, :lat // 2] = 0
+    bt = {'images': rng.normal(size=(batch, size, size, 3)).astype(np.float32),
+          'text_ids': ids.astype(np.int32),
+          'masks': masks,
+          'img_masks': np.ones((batch, size, size, 1), np.float32),
+          'concept_pos': np.asarray([pos] * batch, np.int32),
+          'concept_pos_mask': np.ones((batch, 2), np.float32)}
+
+    import jax.random as jr
+    state, _ = step(state, bt, jr.PRNGKey(0))
+    jax.block_until_ready(state.trainable)
+    n = int(os.environ.get('BENCH_RUNS', '10'))
+    t0 = time.time()
+    for i in range(n):
+        state, loss = step(state, bt, jr.PRNGKey(i + 1))
+    jax.block_until_ready(state.trainable)
+    sps = n / (time.time() - t0)
+    # reference operating point: 2xA100, batch 2/GPU; no published steps/sec
+    # (SURVEY.md §6) — report vs a 1 step/sec nominal baseline
+    print(json.dumps({
+        'metric': f'ED-LoRA {size}x{size} b{batch} train steps/sec/chip',
+        'value': round(sps, 4), 'unit': 'steps/s',
+        'vs_baseline': round(sps / 1.0, 4)}))
+
+
 def main():
+    if os.environ.get('BENCH_MODE', 'sample') == 'train':
+        bench_train()
+        return
     import jax
     from mixofshow_tpu.models import (CLIPTextConfig, UNetConfig, VAEConfig,
                                       init_clip_text, init_unet, init_vae)

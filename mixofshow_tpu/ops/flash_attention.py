@@ -72,13 +72,17 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=('block_q', 'block_k'))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     block_q: int = 256, block_k: int = 512) -> jnp.ndarray:
     """Self/cross attention, (B, S, H, D) layout like layers.sdpa.
 
     No mask support (SD1.x never masks spatial attention). Scale is
-    1/sqrt(D) over the TRUE head dim, applied inside."""
+    1/sqrt(D) over the TRUE head dim, applied inside.
+
+    Differentiable: the VJP recomputes dense attention gradients in fp32
+    (flash forward everywhere; a streaming backward kernel is a later
+    optimization — memory during backward matches the dense path)."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
     scale = 1.0 / math.sqrt(d)
@@ -121,6 +125,32 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     out = out[:, :sq, :d].reshape(b, h, sq, d)
     return jnp.swapaxes(out, 1, 2)
+
+
+def _flash_fwd(q, k, v, block_q, block_k):
+    return flash_attention(q, k, v, block_q, block_k), (q, k, v)
+
+
+def _flash_bwd(block_q, block_k, res, g):
+    """Dense-recompute attention backward (fp32)."""
+    q, k, v = res
+    d = q.shape[-1]
+    scale = 1.0 / math.sqrt(d)
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    logits = jnp.einsum('bqhd,bkhd->bhqk', qf, kf) * scale
+    p = jax.nn.softmax(logits, axis=-1)
+    dv = jnp.einsum('bhqk,bqhd->bkhd', p, gf)
+    dp = jnp.einsum('bqhd,bkhd->bhqk', gf, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum('bhqk,bkhd->bqhd', ds, kf) * scale
+    dk = jnp.einsum('bhqk,bqhd->bkhd', ds, qf) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_attention_supported(sq: int, sk: int, d: int) -> bool:

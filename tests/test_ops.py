@@ -60,3 +60,21 @@ def test_attention_store_average():
     np.testing.assert_allclose(agg, 0.5)
     store.reset()
     assert store.cur_step == 0 and not store.attention_store
+
+
+def test_flash_attention_gradients_match_dense():
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 128, 2, 40))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 2, 40))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 128, 2, 40))
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, 64, 64) ** 2).sum()
+
+    def loss_dense(q, k, v):
+        return (_dense(q, k, v) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2,
+                                   rtol=1e-2)

@@ -38,3 +38,33 @@ def test_determinism_and_truncation():
     long = tok(' '.join(['word'] * 200))
     assert long.shape == (1, 77)
     assert long[0, -1] == EOS_TOKEN_ID
+
+
+def test_real_bpe_with_constructed_vocab(tmp_path):
+    """Exercise the byte-level BPE path with a small hand-built vocab:
+    merges must apply in rank order and </w> suffixing must match CLIP."""
+    import json
+    # vocab: byte symbols + merged tokens
+    tokens = ['l', 'o', 'w', 'e', 'r', '</w>', 'w</w>', 'er</w>', 'lo',
+              'low', 'low</w>', 'lower</w>', '<|startoftext|>',
+              '<|endoftext|>']
+    vocab = {t: i for i, t in enumerate(tokens)}
+    merges = ['#version: 0.2', 'l o', 'lo w', 'e r</w>', 'r </w>',
+              'low er</w>', 'lo w</w>']
+    (tmp_path / 'vocab.json').write_text(json.dumps(vocab))
+    (tmp_path / 'merges.txt').write_text('\n'.join(merges))
+
+    from mixofshow_tpu.text.tokenizer import CLIPTokenizer
+    tok = CLIPTokenizer(str(tmp_path))
+    assert not tok._fallback
+
+    # 'lower' -> l o w e r</w> -> (l o)->lo -> (lo w)->low -> (e r</w>)->er</w>
+    #          -> (low er</w>) -> lower</w>
+    ids = tok.encode('lower', add_special_tokens=False)
+    assert ids == [vocab['lower</w>']]
+    # 'low' -> l o w</w> -> lo w</w> -> low</w>
+    ids = tok.encode('low', add_special_tokens=False)
+    assert ids == [vocab['low</w>']]
+    # unmerged pieces fall back to symbol tokens
+    ids = tok.encode('ow', add_special_tokens=False)
+    assert ids == [vocab['o'], vocab['w</w>']]
