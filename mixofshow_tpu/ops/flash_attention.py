@@ -1,19 +1,24 @@
-"""Pallas TPU flash attention (forward) for UNet/VAE self-attention.
+"""Pallas TPU flash attention (forward + backward) for UNet/VAE attention.
 
 Replaces the reference's optional xformers memory-efficient attention
 (edlora.py:151-153, pipeline_regionally_t2iadapter.py:111-113) — the one
 kernel-level component in the reference stack (SURVEY.md §2B). The dense XLA
-path materializes (B, H, S, S) fp32 logits (1 GB per layer at 512×512
-sampling); this kernel keeps everything in VMEM with an online softmax.
+path materializes (B, H, S, S) fp32 logits (1 GB per layer at 512×512);
+these kernels keep everything in VMEM with an online softmax, forward and
+backward.
 
 Design (for SD1.x scales: S ≤ 16k, D ∈ {40, 80, 160}):
-  * grid = (batch*heads, S/BLOCK_Q); each program owns one query block and
-    streams that head's full K/V — which fit VMEM at these sizes (16k × 128
-    bf16 = 4 MB) — in BLOCK_K chunks with running (max, sum, acc) state;
-  * head_dim is zero-padded to the 128-lane boundary outside the kernel
+  * forward: grid = (batch*heads, S/BLOCK_Q); each program owns one query
+    block and streams that head's full K/V — which fit VMEM at these sizes
+    (16k × 128 bf16 = 4 MB) — in BLOCK_K chunks with running (max, sum, acc)
+    state; also emits the log-sum-exp rows for the backward;
+  * backward: FlashAttention-2 style two kernels — dK/dV over key blocks
+    (streaming query chunks) and dQ over query blocks (streaming key
+    chunks) — recomputing probabilities from the saved LSE, never
+    materializing S×S;
+  * head_dim is zero-padded to the 128-lane boundary outside the kernels
     (zero lanes contribute nothing to q·kᵀ or p·v);
-  * fp32 softmax statistics and accumulation, bf16 matmul inputs
-    (`preferred_element_type=f32` → MXU accumulates in fp32).
+  * fp32 softmax statistics and accumulation, bf16 matmul inputs.
 """
 from __future__ import annotations
 
@@ -28,10 +33,18 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
+def _interpret() -> bool:
+    return jax.default_backend() != 'tpu'
+
+
+# ------------------------------------------------------------------ forward
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
+                scale: float):
     """One (head, q-block): online-softmax over K blocks.
 
-    q_ref: (1, BQ, Dp); k_ref/v_ref: (1, S, Dp); o_ref: (1, BQ, Dp)."""
+    q_ref: (1, BQ, Dp); k_ref/v_ref: (1, S, Dp); o_ref: (1, BQ, Dp);
+    lse_ref: (1, BQ, 128) — log-sum-exp replicated across lanes (TPU block
+    tiling requires a 128-lane minor dim)."""
     bq = q_ref.shape[1]
     dp = q_ref.shape[2]
     s_len = k_ref.shape[1]
@@ -61,6 +74,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
     acc0 = jnp.zeros((bq, dp), jnp.float32)
     m_f, l_f, acc_f = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
     o_ref[0] = (acc_f / l_f).astype(o_ref.dtype)
+    lse_ref[0] = jnp.broadcast_to(m_f + jnp.log(l_f), (bq, 128))
 
 
 def _pad_to(x, size, axis):
@@ -72,90 +86,207 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    block_q: int = 256, block_k: int = 512) -> jnp.ndarray:
-    """Self/cross attention, (B, S, H, D) layout like layers.sdpa.
-
-    No mask support (SD1.x never masks spatial attention). Scale is
-    1/sqrt(D) over the TRUE head dim, applied inside.
-
-    Differentiable: the VJP recomputes dense attention gradients in fp32
-    (flash forward everywhere; a streaming backward kernel is a later
-    optimization — memory during backward matches the dense path)."""
+def _prep(q, k, v, block_q, block_k):
     b, sq, h, d = q.shape
     sk = k.shape[1]
-    scale = 1.0 / math.sqrt(d)
-
     dp = max(128, ((d + 127) // 128) * 128)
     block_q = min(block_q, sq)
     block_k = min(block_k, sk)
     sq_p = ((sq + block_q - 1) // block_q) * block_q
-    sk_p = ((sk + block_k - 1) // block_k) * block_k
+    if sk % block_k:
+        raise ValueError(f'sequence {sk} not divisible by block_k {block_k}')
 
     def to_bh(x, s_pad):
         x = jnp.swapaxes(x, 1, 2).reshape(b * h, x.shape[1], d)
         x = _pad_to(x, dp, 2)
         return _pad_to(x, s_pad, 1)
 
-    qf = to_bh(q, sq_p)
-    kf = to_bh(k, sk_p)
-    vf = to_bh(v, sk_p)
-    if sk_p != sk:
-        # padded keys must not receive probability mass: push their logits to
-        # -inf by giving them a huge negative component against any query.
-        # Simpler: mask via an extra bias is overkill here — SD sequence
-        # lengths (64..16384, 77) are handled by choosing block_k | sk; guard:
-        raise ValueError(f'sequence {sk} not divisible by block_k {block_k}')
+    return (to_bh(q, sq_p), to_bh(k, sk), to_bh(v, sk), b, sq, h, d, dp,
+            sq_p, sk, block_q, block_k)
 
-    grid = (b * h, sq_p // block_q)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, dp), q.dtype),
+
+def _fwd_call(q, k, v, block_q, block_k):
+    qf, kf, vf, b, sq, h, d, dp, sq_p, sk, bq, bk = _prep(q, k, v, block_q,
+                                                          block_k)
+    scale = 1.0 / math.sqrt(d)
+    grid = (b * h, sq_p // bq)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, block_k=bk, scale=scale),
+        out_shape=(jax.ShapeDtypeStruct((b * h, sq_p, dp), q.dtype),
+                   jax.ShapeDtypeStruct((b * h, sq_p, 128), jnp.float32)),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, sk_p, dp), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, sk_p, dp), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, sk, dp), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, sk, dp), lambda i, j: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0)),
-        # interpreter mode off-TPU so the kernel stays testable on CPU
-        interpret=jax.default_backend() != 'tpu',
+        out_specs=(pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0)),
+                   pl.BlockSpec((1, bq, 128), lambda i, j: (i, j, 0))),
+        interpret=_interpret(),
     )(qf, kf, vf)
+    return out, lse, (qf, kf, vf, b, sq, h, d, dp, sq_p, sk, bq, bk)
 
+
+# ----------------------------------------------------------------- backward
+def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, dvec_ref, k_ref, v_ref,
+                    dk_ref, dv_ref, *, block_q: int, scale: float):
+    """One (head, k-block): accumulate dK/dV over query chunks.
+
+    q/do: (1, Sq, Dp) full; lse/dvec: (1, Sq, 128) lane-replicated;
+    k/v: (1, BK, Dp)."""
+    sq = q_ref.shape[1]
+    dp = q_ref.shape[2]
+    bk = k_ref.shape[1]
+    nq = sq // block_q
+
+    k_blk = k_ref[0].astype(jnp.bfloat16)
+    v_blk = v_ref[0].astype(jnp.bfloat16)
+
+    def body(i, carry):
+        dk, dv = carry
+        q_i = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.bfloat16)
+        do_i = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.bfloat16)
+        lse_i = lse_ref[0, pl.ds(i * block_q, block_q), 0:1]   # (BQ, 1)
+        d_i = dvec_ref[0, pl.ds(i * block_q, block_q), 0:1]
+        s = jax.lax.dot_general(
+            q_i, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # (BQ, BK)
+        p = jnp.exp(s - lse_i)
+        dv = dv + jax.lax.dot_general(
+            p.astype(jnp.bfloat16), do_i, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (BK, Dp)
+        dp_ = jax.lax.dot_general(
+            do_i, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (BQ, BK)
+        ds = p * (dp_ - d_i)
+        dk = dk + jax.lax.dot_general(
+            ds.astype(jnp.bfloat16), q_i, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # (BK, Dp)
+        return dk, dv
+
+    dk0 = jnp.zeros((bk, dp), jnp.float32)
+    dv0 = jnp.zeros((bk, dp), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, nq, body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, do_ref, lse_ref, dvec_ref, k_ref, v_ref, dq_ref,
+                   *, block_k: int, scale: float):
+    """One (head, q-block): accumulate dQ over key chunks."""
+    bq = q_ref.shape[1]
+    dp = q_ref.shape[2]
+    sk = k_ref.shape[1]
+    nk = sk // block_k
+
+    q = q_ref[0].astype(jnp.bfloat16)
+    do = do_ref[0].astype(jnp.bfloat16)
+    lse = lse_ref[0, :, 0:1]    # (BQ, 1)
+    dvec = dvec_ref[0, :, 0:1]
+
+    def body(j, dq):
+        k_blk = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.bfloat16)
+        v_blk = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse)
+        dp_ = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp_ - dvec)
+        return dq + jax.lax.dot_general(
+            ds.astype(jnp.bfloat16), k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    dq = jax.lax.fori_loop(0, nk, body, jnp.zeros((bq, dp), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+# ---------------------------------------------------------------- public op
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    block_q: int = 256, block_k: int = 512) -> jnp.ndarray:
+    """Self/cross attention, (B, S, H, D) layout like layers.sdpa.
+
+    No mask support (SD1.x never masks spatial attention). Scale is
+    1/sqrt(D) over the TRUE head dim, applied inside. Fully differentiable:
+    the VJP runs streaming Pallas backward kernels from the saved LSE."""
+    out, _, meta = _fwd_call(q, k, v, block_q, block_k)
+    b, sq, h, d, dp = meta[3], meta[4], meta[5], meta[6], meta[7]
     out = out[:, :sq, :d].reshape(b, h, sq, d)
     return jnp.swapaxes(out, 1, 2)
 
 
 def _flash_fwd(q, k, v, block_q, block_k):
-    return flash_attention(q, k, v, block_q, block_k), (q, k, v)
+    out, lse, meta = _fwd_call(q, k, v, block_q, block_k)
+    b, sq, h, d, dp = meta[3], meta[4], meta[5], meta[6], meta[7]
+    o = out[:, :sq, :d].reshape(b, h, sq, d)
+    return jnp.swapaxes(o, 1, 2), (q, k, v, out, lse)
 
 
 def _flash_bwd(block_q, block_k, res, g):
-    """Dense-recompute attention backward (fp32)."""
-    q, k, v = res
-    d = q.shape[-1]
+    q, k, v, out_p, lse = res  # out_p: (BH, Sq_p, Dp) padded; lse: (BH, Sq_p)
+    qf, kf, vf, b, sq, h, d, dp, sq_p, sk, bq, bk = _prep(q, k, v, block_q,
+                                                          block_k)
     scale = 1.0 / math.sqrt(d)
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    gf = g.astype(jnp.float32)
-    logits = jnp.einsum('bqhd,bkhd->bhqk', qf, kf) * scale
-    p = jax.nn.softmax(logits, axis=-1)
-    dv = jnp.einsum('bhqk,bqhd->bkhd', p, gf)
-    dp = jnp.einsum('bqhd,bkhd->bhqk', gf, vf)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum('bhqk,bkhd->bqhd', ds, kf) * scale
-    dk = jnp.einsum('bhqk,bqhd->bkhd', ds, qf) * scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    gf = jnp.swapaxes(g, 1, 2).reshape(b * h, sq, d)
+    gf = _pad_to(_pad_to(gf, dp, 2), sq_p, 1)
+    # D_i = rowsum(dout * out) (on padded layout; padded lanes are zero),
+    # lane-replicated to match the 128-minor tiling of lse
+    dvec = (gf.astype(jnp.float32) * out_p.astype(jnp.float32)).sum(-1)
+    dvec = jnp.broadcast_to(dvec[..., None], (*dvec.shape, 128))
+
+    grid_k = (b * h, sk // bk)
+    dk_p, dv_p = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, block_q=bq, scale=scale),
+        out_shape=(jax.ShapeDtypeStruct((b * h, sk, dp), k.dtype),
+                   jax.ShapeDtypeStruct((b * h, sk, dp), v.dtype)),
+        grid=grid_k,
+        in_specs=[
+            pl.BlockSpec((1, sq_p, dp), lambda i, j: (i, 0, 0)),   # q
+            pl.BlockSpec((1, sq_p, dp), lambda i, j: (i, 0, 0)),   # dout
+            pl.BlockSpec((1, sq_p, 128), lambda i, j: (i, 0, 0)),  # lse
+            pl.BlockSpec((1, sq_p, 128), lambda i, j: (i, 0, 0)),  # dvec
+            pl.BlockSpec((1, bk, dp), lambda i, j: (i, j, 0)),     # k blk
+            pl.BlockSpec((1, bk, dp), lambda i, j: (i, j, 0)),     # v blk
+        ],
+        out_specs=(pl.BlockSpec((1, bk, dp), lambda i, j: (i, j, 0)),
+                   pl.BlockSpec((1, bk, dp), lambda i, j: (i, j, 0))),
+        interpret=_interpret(),
+    )(qf, gf, lse, dvec, kf, vf)
+
+    grid_q = (b * h, sq_p // bq)
+    dq_p = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, block_k=bk, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, dp), q.dtype),
+        grid=grid_q,
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0)),     # q blk
+            pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0)),     # dout blk
+            pl.BlockSpec((1, bq, 128), lambda i, j: (i, j, 0)),    # lse blk
+            pl.BlockSpec((1, bq, 128), lambda i, j: (i, j, 0)),    # dvec blk
+            pl.BlockSpec((1, sk, dp), lambda i, j: (i, 0, 0)),     # k
+            pl.BlockSpec((1, sk, dp), lambda i, j: (i, 0, 0)),     # v
+        ],
+        out_specs=pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0)),
+        interpret=_interpret(),
+    )(qf, gf, lse, dvec, kf, vf)
+
+    def from_bh(x, s):
+        x = x[:, :s, :d].reshape(b, h, s, d)
+        return jnp.swapaxes(x, 1, 2)
+
+    return from_bh(dq_p, sq), from_bh(dk_p, sk), from_bh(dv_p, sk)
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_attention_supported(sq: int, sk: int, d: int) -> bool:
-    """Shapes this kernel handles without masking fallbacks."""
+    """Shapes these kernels handle without masking fallbacks."""
     if d > 256:
         return False
     block_k = min(512, sk)
-    return sk % block_k == 0 and sk >= 128
+    block_q = min(256, sq)
+    return sk % block_k == 0 and sk >= 128 and sq % block_q == 0
