@@ -35,6 +35,10 @@ def parse_args():
     parser.add_argument('--spatial_steps', default=20, type=int)
     parser.add_argument('--image_size', default=512, type=int)
     parser.add_argument('--seed', default=0, type=int)
+    parser.add_argument('--solver', default='exact', type=str,
+                        choices=['exact', 'lbfgs'],
+                        help='exact spectral solve (default) or iterative '
+                             'LBFGS parity path')
     return parser.parse_args()
 
 
@@ -55,4 +59,5 @@ if __name__ == '__main__':
                      lam_unet=args.lam_unet,
                      spatial_steps=args.spatial_steps,
                      image_size=args.image_size,
-                     seed=args.seed)
+                     seed=args.seed,
+                     solver=args.solver)

@@ -123,7 +123,8 @@ _CLIP_POINT = {'q': 'qkv', 'k': 'qkv', 'v': 'qkv', 'out': 'out'}
 
 def merge_text_encoder(parsed, concept_list, new_concept_cfg, tokenizer,
                        text_params, concept_table, text_config,
-                       lam: float = 1e-4):
+                       lam: float = 1e-4, method: str = 'exact',
+                       iters: int = 500):
     """Phase 2 (reference gradient_fusion.py:460-576): for each concept,
     capture input grams of every LoRA'd linear while encoding that concept's
     bound prompts through the concept-LoRA'd text encoder; solve each layer
@@ -171,7 +172,7 @@ def merge_text_encoder(parsed, concept_list, new_concept_cfg, tokenizer,
     deltas = [d_sums[p] if d_sums[p] is not None else
               np.zeros_like(anchors[i]) for i, p in enumerate(layer_paths)]
     solved = solve_layer_group([g_sums[p] for p in layer_paths], deltas,
-                               anchors, lam=lam)
+                               anchors, lam=lam, method=method, iters=iters)
     new_params = _apply_kernels(text_params, dict(zip(layer_paths, solved)))
     _log_residuals('text_encoder', layer_paths, g_sums, deltas, solved,
                    anchors)
@@ -197,7 +198,8 @@ def category_embedding(text_params, text_config, concept_table, ids_row,
 def merge_kv_in_cross_attention(parsed, concept_list, new_concept_cfg,
                                 tokenizer, text_params, text_config,
                                 concept_table, unet_params, unet_config,
-                                lam: float = 1e-4):
+                                lam: float = 1e-4, method: str = 'exact',
+                                iters: int = 500):
     """Phase 3 (reference gradient_fusion.py:325-457): 32 to_k/to_v layers in
     down→mid→up order; per layer, K = that layer's concept text features
     (computed with the phase-2-merged text encoder), target = concept-merged
@@ -263,6 +265,7 @@ def merge_spatial_attention(parsed, concept_list, new_concept_cfg, tokenizer,
                             num_inference_steps: int = 20,
                             record_nums: int = 20, image_size: int = 512,
                             seed: int = 0, lam: float = 1e-4,
+                            method: str = 'exact', iters: int = 50,
                             compute_dtype=jnp.bfloat16):
     """Phase 4 (reference gradient_fusion.py:627-747): per concept, run a
     20-step denoise of 'photo of a <concept>' with the concept's spatial
@@ -400,12 +403,13 @@ def compose_concepts(concept_cfg: str, pretrained_path: str, save_path: str,
                      optimize_unet_iters: int = 50,
                      lam_text: float = 1e-4, lam_unet: float = 1e-4,
                      spatial_steps: int = 20, image_size: int = 512,
-                     seed: int = 0, bundle=None):
+                     seed: int = 0, bundle=None, solver: str = 'exact'):
     """Full 4-phase fusion; writes a diffusers-layout checkpoint +
     new_concept_cfg.json (reference compose_concepts,
-    gradient_fusion.py:750-813). The *_iters arguments are accepted for CLI
-    parity; the batched closed-form solver replaces iteration counts."""
-    del optimize_textenc_iters, optimize_unet_iters  # exact solve — unused
+    gradient_fusion.py:750-813). With solver='exact' (default) the batched
+    spectral solve replaces iteration counts; solver='lbfgs' runs the
+    iterative parity path with the reference's per-phase iteration budgets
+    (fuse.sh:8-9)."""
     if bundle is None:
         from mixofshow_tpu.zoo import load_models
         bundle = load_models(pretrained_path, seed=seed)
@@ -420,20 +424,22 @@ def compose_concepts(concept_cfg: str, pretrained_path: str, save_path: str,
     logger.info('------Step 4: merge text encoder------')
     text_params, _ = merge_text_encoder(
         parsed, concept_list, new_concept_cfg, bundle.tokenizer,
-        bundle.text_encoder, concept_table, bundle.text_config, lam=lam_text)
+        bundle.text_encoder, concept_table, bundle.text_config, lam=lam_text,
+        method=solver, iters=optimize_textenc_iters)
 
     logger.info('------Step 5: merge kv of cross-attention in unet------')
     unet_params, _ = merge_kv_in_cross_attention(
         parsed, concept_list, new_concept_cfg, bundle.tokenizer, text_params,
         bundle.text_config, concept_table, bundle.unet, bundle.unet_config,
-        lam=lam_text)
+        lam=lam_text, method=solver, iters=optimize_textenc_iters)
 
     logger.info('------Step 6: merge spatial attention in unet------')
     unet_params, _ = merge_spatial_attention(
         parsed, concept_list, new_concept_cfg, bundle.tokenizer, text_params,
         bundle.text_config, concept_table, unet_params, bundle.unet_config,
         num_inference_steps=spatial_steps, record_nums=spatial_steps,
-        image_size=image_size, seed=seed, lam=lam_unet)
+        image_size=image_size, seed=seed, lam=lam_unet,
+        method=solver, iters=optimize_unet_iters)
 
     ckpt_path = os.path.join(save_path, f'combined_model_{suffix}')
     logger.info('saving fused checkpoint to %s', ckpt_path)

@@ -25,6 +25,7 @@ encoder, 50/layer UNet). Two observations make a closed form exact:
 """
 from __future__ import annotations
 
+import functools
 from typing import List, Tuple
 
 import jax
@@ -69,14 +70,48 @@ def _batched_solve(g, d, w0, lam, rank_tol):
                     in_axes=(0, 0, 0, None, None))(g, d, w0, lam, rank_tol)
 
 
+@functools.partial(jax.jit, static_argnames=('iters',))
+def _batched_lbfgs(g, d, w0, iters: int):
+    """Iterative alternative: optax LBFGS (zoom linesearch) on the quadratic
+    ½tr(ΔᵀGΔ) − tr(ΔᵀD) in delta space, vmapped over layers — the literal
+    counterpart of the reference's torch.optim.LBFGS loop
+    (gradient_fusion.py:78-85). The spectral solve is this problem's exact
+    optimum; this path exists for parity validation and as a fallback."""
+    import optax
+
+    def solve_one(g1, d1, w01):
+        def obj(dw):
+            return 0.5 * jnp.vdot(dw, g1 @ dw) - jnp.vdot(dw, d1)
+
+        opt = optax.lbfgs()
+        dw0 = jnp.zeros_like(d1)
+        state0 = opt.init(dw0)
+        vg = jax.value_and_grad(obj)
+
+        def body(carry, _):
+            dw, state = carry
+            value, grad = vg(dw)
+            updates, state = opt.update(
+                grad, state, dw, value=value, grad=grad, value_fn=obj)
+            return (optax.apply_updates(dw, updates), state), None
+
+        (dw, _), _ = jax.lax.scan(body, (dw0, state0), None, length=iters)
+        return w01 + dw
+
+    return jax.vmap(solve_one)(g, d, w0)
+
+
 def solve_layer_group(grams: List[np.ndarray], deltas: List[np.ndarray],
                       anchors: List[np.ndarray],
                       lam: float = 1e-4,
-                      rank_tol: float = 1e-6) -> List[np.ndarray]:
+                      rank_tol: float = 1e-6,
+                      method: str = 'exact',
+                      iters: int = 50) -> List[np.ndarray]:
     """Solve many layers at once, grouping same-shape layers into one
-    batched (vmapped) spectral solve. All arrays are kernel-layout (F, O);
+    batched (vmapped) solve. All arrays are kernel-layout (F, O);
     `deltas[i]` = Σ_c G_c (Wm_c − W₀) for layer i.
 
+    method: 'exact' (spectral, default) or 'lbfgs' (iterative parity path).
     Residual reporting is the caller's job (the reference logs per-layer
     residuals, gradient_fusion.py:87-95)."""
     order: dict[Tuple[int, int], List[int]] = {}
@@ -88,8 +123,11 @@ def solve_layer_group(grams: List[np.ndarray], deltas: List[np.ndarray],
         g = jnp.stack([jnp.asarray(grams[i], jnp.float32) for i in idxs])
         d = jnp.stack([jnp.asarray(deltas[i], jnp.float32) for i in idxs])
         w = jnp.stack([jnp.asarray(anchors[i], jnp.float32) for i in idxs])
-        solved = np.asarray(_batched_solve(g, d, w, jnp.float32(lam),
-                                           jnp.float32(rank_tol)))
+        if method == 'lbfgs':
+            solved = np.asarray(_batched_lbfgs(g, d, w, iters))
+        else:
+            solved = np.asarray(_batched_solve(g, d, w, jnp.float32(lam),
+                                               jnp.float32(rank_tol)))
         for j, i in enumerate(idxs):
             out[i] = solved[j]
     return out

@@ -25,3 +25,17 @@ def set_manual_seed(seed: int):
 NEGATIVE_PROMPT = ('longbody, lowres, bad anatomy, bad hands, missing fingers,'
                    ' extra digit, fewer digits, cropped, worst quality,'
                    ' low quality')
+
+
+def dict2str(opt, indent_level: int = 1) -> str:
+    """Pretty-print a nested options dict for logs (reference
+    util.py:122-140)."""
+    msg = '\n'
+    for k, v in opt.items():
+        if isinstance(v, dict):
+            msg += ' ' * (indent_level * 2) + f'{k}:['
+            msg += dict2str(v, indent_level + 1)
+            msg += ' ' * (indent_level * 2) + ']\n'
+        else:
+            msg += ' ' * (indent_level * 2) + f'{k}: {v}\n'
+    return msg

@@ -177,3 +177,16 @@ def test_compose_concepts_end_to_end(tmp_path):
     img = pipe('a photo of <a1> <a2> and <b1> <b2>', height=64, width=64,
                num_inference_steps=2, seed=0)
     assert img.shape == (1, 64, 64, 3) and np.isfinite(img).all()
+
+
+def test_lbfgs_path_matches_spectral():
+    """The iterative LBFGS parity path converges to the exact solve."""
+    r = np.random.default_rng(7)
+    x = r.normal(size=(100, 16)).astype(np.float32)
+    g = x.T @ x
+    w0 = r.normal(size=(16, 8)).astype(np.float32)
+    wt = r.normal(size=(16, 8)).astype(np.float32)
+    d = g @ (wt - w0)
+    exact = solve_layer_group([g], [d], [w0], method='exact')[0]
+    lbfgs = solve_layer_group([g], [d], [w0], method='lbfgs', iters=100)[0]
+    np.testing.assert_allclose(lbfgs, exact, atol=5e-2, rtol=5e-2)

@@ -29,7 +29,8 @@ from mixofshow_tpu.pipelines.trainer_edlora import EDLoRATrainer, make_optimizer
 from mixofshow_tpu.pipelines.validation import visual_validation
 from mixofshow_tpu.utils.logging_utils import (MessageLogger, reduce_loss_dict,
                                                set_path_logger)
-from mixofshow_tpu.utils.options import load_options, set_manual_seed
+from mixofshow_tpu.utils.options import (dict2str, load_options,
+                                         set_manual_seed)
 from mixofshow_tpu.zoo import load_models
 
 
@@ -96,6 +97,7 @@ def train(args):
         set_manual_seed(opt['manual_seed'])
 
     logger = set_path_logger(opt, args.opt, is_train=True)
+    logger.info(dict2str(opt))
     logger.info(f'devices: {jax.devices()}')
 
     compute_dtype = (jnp.bfloat16 if opt.get('mixed_precision', 'bf16')
