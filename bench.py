@@ -68,12 +68,14 @@ def bench_train():
           'concept_pos_mask': np.ones((batch, 2), np.float32)}
 
     import jax.random as jr
-    state, _ = step(state, bt, jr.PRNGKey(0))
+    frozen = trainer.frozen_params
+    state, _ = step(state, bt, jr.PRNGKey(0), frozen)
     jax.block_until_ready(state.trainable)
+    frozen = jax.tree.map(jnp.asarray, frozen)  # pin on device
     n = int(os.environ.get('BENCH_RUNS', '10'))
     t0 = time.time()
     for i in range(n):
-        state, loss = step(state, bt, jr.PRNGKey(i + 1))
+        state, loss = step(state, bt, jr.PRNGKey(i + 1), frozen)
     jax.block_until_ready(state.trainable)
     sps = n / (time.time() - t0)
     # reference operating point: 2xA100, batch 2/GPU; no published steps/sec

@@ -136,10 +136,11 @@ def merge_text_encoder(parsed, concept_list, new_concept_cfg, tokenizer,
     logger.info('text_encoder: %d linear layers to optimize',
                 len(layer_paths))
 
-    encode = jax.jit(lambda lora, alpha, ids, mask: clip_text_encode(
-        text_params, ids, text_config,
-        concept_embedding=jnp.asarray(concept_table),
-        lora=lora, lora_alpha=alpha, capture_grams=True, token_mask=mask))
+    encode = jax.jit(lambda tp, table, lora, alpha, ids, mask:
+                     clip_text_encode(
+                         tp, ids, text_config, concept_embedding=table,
+                         lora=lora, lora_alpha=alpha, capture_grams=True,
+                         token_mask=mask))
 
     g_sums = {p: None for p in layer_paths}
     d_sums = {p: None for p in layer_paths}
@@ -154,7 +155,8 @@ def merge_text_encoder(parsed, concept_list, new_concept_cfg, tokenizer,
         first_eos = (ids == EOS_TOKEN_ID).argmax(axis=1)
         mask = np.arange(ids.shape[1])[None, :] <= first_eos[:, None]
         alpha = float(concept.get('text_encoder_alpha', 1.0))
-        _, grams_per_block = encode(data['text_lora'] or None,
+        _, grams_per_block = encode(text_params, jnp.asarray(concept_table),
+                                    data['text_lora'] or None,
                                     jnp.float32(alpha),
                                     jnp.asarray(ids), jnp.asarray(mask))
         lora_flat = flatten_lora(data['text_lora'])
@@ -295,7 +297,9 @@ def merge_spatial_attention(parsed, concept_list, new_concept_cfg, tokenizer,
         unet_params)
 
     @jax.jit
-    def capture_run(lora, alpha, embeds, latents, rec):
+    def capture_run(unet_c, lora, alpha, embeds, latents, rec):
+        # unet params are a traced ARGUMENT (closure constants of this size
+        # would embed gigabytes in the HLO)
         def body(carry, i):
             sample, m_prev, gsum = carry
             eps, aux = unet_apply(unet_c, sample.astype(compute_dtype),
@@ -334,8 +338,9 @@ def merge_spatial_attention(parsed, concept_list, new_concept_cfg, tokenizer,
         latents = jax.random.normal(jax.random.PRNGKey(seed + ci),
                                     (1, lat, lat, 4), jnp.float32)
         alpha = float(concept.get('unet_alpha', 1.0))
-        grams = capture_run(data['unet_spatial'] or None, jnp.asarray(
-            alpha, compute_dtype), embeds, latents, jnp.asarray(record))
+        grams = capture_run(unet_c, data['unet_spatial'] or None,
+                            jnp.asarray(alpha, compute_dtype), embeds,
+                            latents, jnp.asarray(record))
         grams = jax.tree.map(np.asarray, grams)
 
         lora_flat = flatten_lora(data['unet_spatial'])

@@ -55,9 +55,14 @@ class TrainState:
 
 
 def make_optimizer(finetune_cfg: Dict, total_steps: int,
-                   optim_cfg: Optional[Dict] = None) -> optax.GradientTransformation:
+                   optim_cfg: Optional[Dict] = None,
+                   grad_accum: int = 1) -> optax.GradientTransformation:
     """Three AdamW groups with independent lrs + shared linear-decay schedule
-    (reference train_edlora.py:57,85-90; group lrs from finetune_cfg)."""
+    (reference train_edlora.py:57,85-90; group lrs from finetune_cfg).
+
+    grad_accum > 1 wraps the whole transform in optax.MultiSteps — gradients
+    average over k micro-steps before one optimizer update (the reference's
+    accelerate.accumulate, train_edlora.py:106)."""
     optim_cfg = optim_cfg or {}
     wd = float(optim_cfg.get('weight_decay', 0.01))
     b1, b2 = optim_cfg.get('betas', (0.9, 0.999))
@@ -83,7 +88,10 @@ def make_optimizer(finetune_cfg: Dict, total_steps: int,
             'unet_lora': jax.tree.map(lambda _: 'unet', params['unet_lora']),
         }
 
-    return optax.multi_transform(transforms, param_labels=labeler)
+    tx = optax.multi_transform(transforms, param_labels=labeler)
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+    return tx
 
 
 def attn_reg_loss(cross_probs, masks, concept_pos, concept_pos_mask,
@@ -142,8 +150,10 @@ def attn_reg_loss(cross_probs, masks, concept_pos, concept_pos_mask,
 class EDLoRATrainer:
     """Builds the trainable state and the compiled train step.
 
-    Frozen base params are captured as closure constants (they live on
-    device once); cfg mirrors the reference YAML `models:` section."""
+    Frozen base params flow through the compiled step as ARGUMENTS (see
+    `frozen_params`) — never as closure constants, which would embed
+    gigabytes into the HLO; cfg mirrors the reference YAML `models:`
+    section."""
 
     def __init__(self,
                  unet_params, text_encoder_params, vae_params,
@@ -218,6 +228,13 @@ class EDLoRATrainer:
         self.num_unet_loras = num_lora_leaves(unet_lora)
         self.concept_token_ids = all_concept_token_ids(self.new_concept_cfg)
 
+    @property
+    def frozen_params(self):
+        """The non-trainable model weights, passed to the compiled step."""
+        return {'unet': self.unet_params,
+                'text_encoder': self.text_encoder_params,
+                'vae': self.vae_params}
+
     # -------------------------------------------------------------- states
     def init_state(self, optimizer: optax.GradientTransformation) -> TrainState:
         # fresh buffer copies: the train step donates its input state, and
@@ -232,19 +249,22 @@ class EDLoRATrainer:
         )
 
     # ---------------------------------------------------------------- loss
-    def loss_fn(self, trainable, rng, batch):
+    def loss_fn(self, trainable, rng, batch, frozen=None):
         """Diffusion MSE (masked) + attention regularization.
 
         batch: images (B,H,W,3) in [-1,1]; text_ids (B,16,77) pre-bound;
         masks (B,h,w,1) latent-res; img_masks (B,H,W,1);
         concept_pos (B,2) + concept_pos_mask (B,2).
+        `frozen`: the frozen_params dict (traced args under jit; defaults to
+        the trainer's own trees for direct eager use).
         Mirrors reference trainer_edlora.py:202-261."""
+        frozen = frozen or self.frozen_params
         cdt = self.compute_dtype
         images = batch['images'].astype(cdt)
         b = images.shape[0]
         k_vae, k_noise, k_off, k_t = jax.random.split(rng, 4)
 
-        mean, logvar = vae_encode(self.vae_params, images, self.vae_config)
+        mean, logvar = vae_encode(frozen['vae'], images, self.vae_config)
         latents = sample_latents(k_vae, mean.astype(jnp.float32),
                                  logvar.astype(jnp.float32))
         latents = latents * self.vae_config.scaling_factor
@@ -264,7 +284,7 @@ class EDLoRATrainer:
         else:
             flat_ids = ids.reshape(b, -1)
         ehs = clip_text_encode(
-            self.text_encoder_params, flat_ids, self.text_config,
+            frozen['text_encoder'], flat_ids, self.text_config,
             concept_embedding=trainable['concept_embedding'],
             lora=trainable['text_lora'] or None,
             lora_alpha=self.lora_alpha, dtype=cdt)
@@ -273,7 +293,7 @@ class EDLoRATrainer:
 
         want_probs = self.attn_reg_weight is not None
         pred, aux = unet_apply(
-            self.unet_params, noisy.astype(cdt), t, ehs, self.unet_config,
+            frozen['unet'], noisy.astype(cdt), t, ehs, self.unet_config,
             lora=trainable['unet_lora'] or None, lora_alpha=self.lora_alpha,
             return_cross_probs=want_probs, remat=self.gradient_checkpoint)
 
@@ -302,11 +322,16 @@ class EDLoRATrainer:
     # ----------------------------------------------------------- train step
     def make_train_step(self, optimizer: optax.GradientTransformation):
         """One compiled step: grad → optax update → sticky embedding freeze.
-        Data-parallel under pjit: shard batch leading axis over 'data'."""
+        Data-parallel under pjit: shard batch leading axis over 'data'.
 
-        def train_step(state: TrainState, batch, rng):
+        The returned step takes (state, batch, rng, frozen=None); pass
+        trainer.frozen_params explicitly for large models so base weights
+        are traced arguments, not embedded constants."""
+
+        def train_step(state: TrainState, batch, rng, frozen=None):
             (loss, loss_dict), grads = jax.value_and_grad(
-                self.loss_fn, has_aux=True)(state.trainable, rng, batch)
+                self.loss_fn, has_aux=True)(state.trainable, rng, batch,
+                                            frozen)
             updates, opt_state = optimizer.update(
                 grads, state.opt_state, state.trainable)
             # permanently freeze concept embedding once norm hits threshold

@@ -159,3 +159,18 @@ def test_delta_roundtrip(trainer):
     np.testing.assert_allclose(
         np.asarray(restored.trainable['concept_embedding']),
         np.asarray(state.trainable['concept_embedding']), atol=1e-7)
+
+
+def test_gradient_accumulation(trainer):
+    """k micro-steps with MultiSteps == params only move on the k-th."""
+    opt = make_optimizer(FINETUNE, total_steps=10, grad_accum=2)
+    state = trainer.init_state(opt)
+    step = trainer.make_train_step(opt)
+    batch = make_batch(trainer)
+    emb0 = np.asarray(state.trainable['concept_embedding']).copy()
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    emb1 = np.asarray(state.trainable['concept_embedding'])
+    np.testing.assert_array_equal(emb0, emb1)  # mid-accum: no update
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    emb2 = np.asarray(state.trainable['concept_embedding'])
+    assert np.abs(emb2 - emb0).sum() > 0  # update applied on 2nd micro-step

@@ -131,7 +131,7 @@ def train(args):
                 f'UNet LoRAs = {trainer.num_unet_loras}')
 
     optimizer = make_optimizer(trainer.finetune_cfg, total_iter,
-                               opt['train'].get('optim_g'))
+                               opt['train'].get('optim_g'), grad_accum=accum)
     state = trainer.init_state(optimizer)
     if args.resume:
         from mixofshow_tpu.utils.checkpoint import load_train_state
@@ -159,13 +159,16 @@ def train(args):
     save_freq = int(opt.get('logger', {}).get('save_checkpoint_freq', 1e10))
     rng = jax.random.PRNGKey(opt.get('manual_seed', 0))
 
-    global_step = int(state.step)
+    # state.step counts micro-steps; optimizer updates apply every `accum`
+    global_step = int(state.step) // accum
     yielder = train_loader.infinite()
     while global_step < total_iter:
-        batch = next(yielder)
-        batch = shard_batch(mesh, batch)
-        rng, step_rng = jax.random.split(rng)
-        state, loss_dict = step_fn(state, batch, step_rng)
+        for _ in range(accum):
+            batch = next(yielder)
+            batch = shard_batch(mesh, batch)
+            rng, step_rng = jax.random.split(rng)
+            state, loss_dict = step_fn(state, batch, step_rng,
+                                        trainer.frozen_params)
         global_step += 1
 
         if global_step % print_freq == 0:
