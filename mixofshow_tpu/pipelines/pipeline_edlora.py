@@ -91,7 +91,13 @@ class EDLoRAPipeline:
                  new_concept_cfg: Optional[Dict] = None,
                  concept_embedding=None,
                  unet_lora=None, text_lora=None, lora_alpha: float = 1.0,
+                 mesh=None,
                  dtype=jnp.bfloat16):
+        # mesh: optional jax.sharding.Mesh — sampling batches are sharded
+        # over its 'data' axis (params replicated), so validation sweeps
+        # scale across chips (the reference distributes validation via
+        # accelerate processes, test_edlora.py:24-57).
+        self.mesh = mesh
         self.dtype = dtype
         self.unet_params = cast_floats(unet_params, dtype)
         self.text_encoder_params = cast_floats(text_encoder_params, dtype)
@@ -174,6 +180,19 @@ class EDLoRAPipeline:
             if lat.ndim == 4 and lat.shape[1] == 4 and lat.shape[-1] != 4:
                 lat = jnp.transpose(lat, (0, 2, 3, 1))  # NCHW -> NHWC
         lat = lat * self.scheduler.init_noise_sigma()
+
+        if self.mesh is not None:
+            from mixofshow_tpu.parallel import batch_sharding
+            sh = batch_sharding(self.mesh)
+            lat = jax.device_put(lat, sh)
+            # embeds are [uncond; cond] along axis 0 — shard each half so a
+            # device keeps its samples' uncond+cond pair together
+            if embeds.shape[0] == 2 * b:
+                neg, pos = jnp.split(embeds, 2)
+                embeds = jnp.concatenate([jax.device_put(neg, sh),
+                                          jax.device_put(pos, sh)])
+            else:
+                embeds = jax.device_put(embeds, sh)
 
         coeffs = self.scheduler.step_coeffs(num_inference_steps)
         final = _sample_loop(self.unet_params, self.unet_lora,

@@ -93,3 +93,18 @@ def test_pipeline_lora_alpha_sweep(pipe):
     pipe.unet_lora = None
     np.testing.assert_allclose(base, a0, atol=1e-5)
     assert not np.allclose(base, a1, atol=1e-4)
+
+
+def test_mesh_sharded_sampling_matches_single(pipe):
+    """Batch-sharded sampling over the 8-device mesh == single-device."""
+    from mixofshow_tpu.parallel import make_mesh
+    lat = np.random.default_rng(9).normal(size=(8, 8, 8, 4)).astype(np.float32)
+    prompts = ['a photo of <potter1> <potter2>'] * 8
+    kw = dict(height=64, width=64, num_inference_steps=2, latents=lat,
+              output_type='latent')
+    single = pipe(prompts, **kw)
+    pipe.mesh = make_mesh(8)
+    sharded = pipe(prompts, **kw)
+    pipe.mesh = None
+    # fp32 reduction-order differences across devices; outputs are O(30)
+    np.testing.assert_allclose(single, sharded, rtol=1e-4, atol=1e-3)
