@@ -63,8 +63,9 @@ class DataLoader:
                 for idxs in self._index_batches():
                     items = [self.dataset[int(i)] for i in idxs]
                     q.put(self.collate_fn(items))
-            finally:
                 q.put(sentinel)
+            except BaseException as exc:  # surface in the consumer thread
+                q.put(exc)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -72,6 +73,8 @@ class DataLoader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     def infinite(self) -> Iterator[Dict]:

@@ -216,6 +216,9 @@ def merge_kv_in_cross_attention(parsed, concept_list, new_concept_cfg,
     g_sums = {p: None for _, p in kv_paths}
     d_sums = {p: None for _, p in kv_paths}
 
+    encode_all = jax.jit(lambda tp, table, ids: clip_text_encode(
+        tp, ids, text_config, concept_embedding=table))
+
     for data, concept in zip(parsed, concept_list):
         if not data['unet_crosskv']:
             continue
@@ -225,12 +228,21 @@ def merge_kv_in_cross_attention(parsed, concept_list, new_concept_cfg,
         ids = tokenizer(bound)
         alpha = float(concept.get('unet_alpha', 1.0))
         lora_flat = flatten_lora(data['unet_crosskv'])
-        # per-layer K features (n=2 prompts for this layer)
+        # ONE jitted encoder pass over all 32 layer-prompts; category rows
+        # (token id >= eos up to and including the first eos,
+        # gradient_fusion.py:183-204) selected host-side per layer
+        emb_all = np.asarray(encode_all(text_params,
+                                        jnp.asarray(concept_table),
+                                        jnp.asarray(ids)))
         feats = {}
         for layer_idx in range(NUM_CROSS_ATTENTION_LAYERS):
-            rows = [category_embedding(text_params, text_config,
-                                       concept_table, ids[j * 16 + layer_idx])
-                    for j in range(len(prompts))]
+            rows = []
+            for j in range(len(prompts)):
+                r = j * NUM_CROSS_ATTENTION_LAYERS + layer_idx
+                first_eos = int((ids[r] == EOS_TOKEN_ID).argmax())
+                sel = [i for i in range(first_eos + 1)
+                       if ids[r][i] >= EOS_TOKEN_ID]
+                rows.append(emb_all[r][sel])
             feats[layer_idx] = np.concatenate(rows, 0).astype(np.float32)
         for layer_idx, path in kv_paths:
             k_feat = feats[layer_idx]

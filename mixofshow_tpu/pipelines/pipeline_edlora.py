@@ -35,9 +35,11 @@ from mixofshow_tpu.text.tokenizer import CLIPTokenizer
 
 
 @functools.partial(jax.jit, static_argnames=('ccfg',))
-def _encode_ids(te_params, ids, concept_embedding, ccfg):
+def _encode_ids(te_params, ids, concept_embedding, ccfg, lora=None,
+                lora_alpha=1.0):
     return clip_text_encode(te_params, ids, ccfg,
-                            concept_embedding=concept_embedding)
+                            concept_embedding=concept_embedding,
+                            lora=lora, lora_alpha=lora_alpha)
 
 
 @functools.partial(
@@ -131,7 +133,9 @@ class EDLoRAPipeline:
         expanded = bind_concept_prompt(prompts, self.new_concept_cfg)
         ids = jnp.asarray(self.tokenizer(expanded))
         emb = _encode_ids(self.text_encoder_params, ids,
-                          self.concept_embedding, self.text_config)
+                          self.concept_embedding, self.text_config,
+                          self.text_lora,
+                          jnp.asarray(self.lora_alpha, jnp.float32))
         emb = emb.reshape(b, NUM_CROSS_ATTENTION_LAYERS, *emb.shape[1:])
         if not do_cfg:
             return emb
@@ -144,7 +148,9 @@ class EDLoRAPipeline:
             assert len(neg) == b, 'negative_prompt batch mismatch'
         nids = jnp.asarray(self.tokenizer(neg))
         nemb = _encode_ids(self.text_encoder_params, nids,
-                           self.concept_embedding, self.text_config)
+                           self.concept_embedding, self.text_config,
+                           self.text_lora,
+                           jnp.asarray(self.lora_alpha, jnp.float32))
         nemb = jnp.broadcast_to(
             nemb[:, None], (b, NUM_CROSS_ATTENTION_LAYERS, *nemb.shape[1:]))
         return jnp.concatenate([nemb, emb])

@@ -124,9 +124,18 @@ def attn_reg_loss(cross_probs, masks, concept_pos, concept_pos_mask,
         cat = jnp.concatenate(plist, axis=1)   # heads*layers on axis 1
         amap = cat.mean(axis=1).reshape(b, h, w, cat.shape[-1])
         amap = amap.astype(jnp.float32)
-        # gather concept columns: (B, h, w, 2)
+        # gather concept columns: (B, h, w, 2); zero out padded positions
+        # (concept_pos_mask marks which of [adjective, subject] were found —
+        # padded entries index position 0, the BOS column, which must not
+        # enter the normalization or the penalty)
         sel = jnp.take_along_axis(
             amap, concept_pos[:, None, None, :], axis=-1)
+        if concept_pos_mask is not None:
+            sel = sel * concept_pos_mask[:, None, None, :]
+            v_adj = concept_pos_mask[:, 0]
+            v_subj = concept_pos_mask[:, 1]
+        else:
+            v_adj = v_subj = jnp.ones((b,), jnp.float32)
         map_adj, map_subj = sel[..., 0], sel[..., 1]
         map_subj = map_subj / (map_subj.max() + 1e-12)
         map_adj = map_adj / (map_adj.max() + 1e-12)
@@ -138,7 +147,8 @@ def attn_reg_loss(cross_probs, masks, concept_pos, concept_pos_mask,
         safe_out = jnp.maximum(n_out, 1.0)
 
         if reg_full_identity:
-            loss_subj = jnp.mean((map_subj - gt) ** 2)
+            per = ((map_subj - gt) ** 2).mean(axis=(1, 2))  # (B,)
+            loss_subj = (per * v_subj).sum() / jnp.maximum(v_subj.sum(), 1.0)
         else:
             loss_subj = (map_subj * outside).sum() / safe_out
         loss_adj = (map_adj * outside).sum() / safe_out
