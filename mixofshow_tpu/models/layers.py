@@ -176,6 +176,16 @@ def init_embedding(rng, num: int, dim: int, scale: float = 0.02,
 
 
 # ------------------------------------------------------------------- helpers
+def to_device(tree, sharding=None):
+    """Place a (possibly host-numpy) pytree on device ONCE. Long-lived
+    params must be pinned — host leaves passed to jit are re-transferred on
+    every call, which is catastrophic on remote-device links."""
+    import jax as _jax
+    if sharding is None:
+        return _jax.device_put(tree)
+    return _jax.device_put(tree, sharding)
+
+
 def cast_floats(tree, dtype):
     """Cast all floating leaves of a pytree (e.g. fp32 params → bf16 compute).
 

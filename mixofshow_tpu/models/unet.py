@@ -245,7 +245,8 @@ def _transformer(p, x, context, layer_idx: int, place: str, cfg: UNetConfig,
                  lora=None, alpha=1.0,
                  cross_attn_override: Optional[Callable] = None,
                  return_cross_probs: bool = False,
-                 capture_grams: bool = False):
+                 capture_grams: bool = False,
+                 prob_columns=None):
     """Transformer2DModel with one BasicTransformerBlock (SD1.x shape).
 
     `context` is (B, 77, C) or layerwise (B, L, 77, C) — sliced at
@@ -289,6 +290,15 @@ def _transformer(p, x, context, layer_idx: int, place: str, cfg: UNetConfig,
                                          maybe(lora, 'attn2'),
                                          alpha, return_probs=return_cross_probs,
                                          return_pre_out=True)
+        if probs is not None and prob_columns is not None:
+            # keep only the requested key columns (the <=2 concept tokens) —
+            # full (B, heads, Q, 77) maps never become autodiff residuals
+            # (SURVEY.md §7 'attention-map capture vs. flash attention')
+            cols = prob_columns[:, None, None, :]
+            probs = jnp.take_along_axis(
+                probs, jnp.broadcast_to(
+                    cols, (*probs.shape[:3], prob_columns.shape[-1])),
+                axis=-1)
     if capture_grams:
         grams['attn2_q'] = gram(attn_in)
         if ca_pre is not None:
@@ -310,6 +320,7 @@ def unet_apply(params, sample: jnp.ndarray, timesteps: jnp.ndarray,
                cross_attn_override: Optional[Callable] = None,
                return_cross_probs: bool = False,
                capture_grams: bool = False,
+               prob_columns=None,
                remat: bool = False):
     """Predict noise/velocity. sample: (B, H, W, 4) NHWC; timesteps: (B,) or
     scalar; encoder_hidden_states: (B, 77, C) or layerwise (B, L, 77, C).
@@ -336,7 +347,8 @@ def unet_apply(params, sample: jnp.ndarray, timesteps: jnp.ndarray,
 
     def run_pair(p_attn, x, idx, place, blora):
         return tfm(p_attn, x, ehs, idx, place, cfg, blora, lora_alpha,
-                   cross_attn_override, return_cross_probs, capture_grams)
+                   cross_attn_override, return_cross_probs, capture_grams,
+                   prob_columns)
 
     x = conv2d(params['conv_in'], sample)
     residuals = [x]

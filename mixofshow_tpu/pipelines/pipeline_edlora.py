@@ -26,7 +26,7 @@ import numpy as np
 
 from mixofshow_tpu.diffusion import DPMSolverMultistep
 from mixofshow_tpu.models.clip import CLIPTextConfig, clip_text_encode
-from mixofshow_tpu.models.layers import cast_floats
+from mixofshow_tpu.models.layers import cast_floats, to_device
 from mixofshow_tpu.models.unet import UNetConfig, unet_apply
 from mixofshow_tpu.models.vae import VAEConfig, vae_decode
 from mixofshow_tpu.pipelines.concepts import (NUM_CROSS_ATTENTION_LAYERS,
@@ -101,9 +101,11 @@ class EDLoRAPipeline:
         # accelerate processes, test_edlora.py:24-57).
         self.mesh = mesh
         self.dtype = dtype
-        self.unet_params = cast_floats(unet_params, dtype)
-        self.text_encoder_params = cast_floats(text_encoder_params, dtype)
-        self.vae_params = cast_floats(vae_params, dtype)
+        # pin weights on device once (host leaves would re-transfer per call)
+        self.unet_params = to_device(cast_floats(unet_params, dtype))
+        self.text_encoder_params = to_device(
+            cast_floats(text_encoder_params, dtype))
+        self.vae_params = to_device(cast_floats(vae_params, dtype))
         self.tokenizer = tokenizer or CLIPTokenizer()
         self.unet_config = unet_config
         self.text_config = text_config
@@ -113,9 +115,9 @@ class EDLoRAPipeline:
         self.concept_embedding = (None if concept_embedding is None else
                                   jnp.asarray(concept_embedding, dtype))
         self.unet_lora = None if unet_lora is None else \
-            cast_floats(unet_lora, dtype)
+            to_device(cast_floats(unet_lora, dtype))
         self.text_lora = None if text_lora is None else \
-            cast_floats(text_lora, dtype)
+            to_device(cast_floats(text_lora, dtype))
         self.lora_alpha = lora_alpha
 
     def set_new_concept_cfg(self, new_concept_cfg: Optional[Dict] = None):

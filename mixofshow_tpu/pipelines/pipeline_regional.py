@@ -32,7 +32,8 @@ import numpy as np
 
 from mixofshow_tpu.diffusion import DPMSolverMultistep
 from mixofshow_tpu.models.clip import CLIPTextConfig, clip_text_encode
-from mixofshow_tpu.models.layers import cast_floats, dense, sdpa
+from mixofshow_tpu.models.layers import (cast_floats, dense, sdpa,
+                                         to_device)
 from mixofshow_tpu.models.lora import maybe
 from mixofshow_tpu.models.t2i_adapter import (T2IAdapterConfig,
                                               preprocess_adapter_image,
@@ -179,9 +180,11 @@ class RegionallyT2IAdapterPipeline:
                  sketch_config: T2IAdapterConfig = T2IAdapterConfig.sketch(),
                  dtype=jnp.bfloat16):
         self.dtype = dtype
-        self.unet_params = cast_floats(unet_params, dtype)
-        self.text_encoder_params = cast_floats(text_encoder_params, dtype)
-        self.vae_params = cast_floats(vae_params, dtype)
+        # pin weights on device once (host leaves would re-transfer per call)
+        self.unet_params = to_device(cast_floats(unet_params, dtype))
+        self.text_encoder_params = to_device(
+            cast_floats(text_encoder_params, dtype))
+        self.vae_params = to_device(cast_floats(vae_params, dtype))
         self.tokenizer = tokenizer or CLIPTokenizer()
         self.unet_config = unet_config
         self.text_config = text_config
@@ -189,10 +192,12 @@ class RegionallyT2IAdapterPipeline:
         self.scheduler = scheduler or DPMSolverMultistep.create()
         self.new_concept_cfg = new_concept_cfg
         self.keypose_adapter = (None if keypose_adapter is None else
-                                cast_floats(keypose_adapter, dtype))
+                                to_device(cast_floats(keypose_adapter,
+                                                      dtype)))
         self.keypose_config = keypose_config
         self.sketch_adapter = (None if sketch_adapter is None else
-                               cast_floats(sketch_adapter, dtype))
+                               to_device(cast_floats(sketch_adapter,
+                                                     dtype)))
         self.sketch_config = sketch_config
 
     def set_new_concept_cfg(self, new_concept_cfg=None):

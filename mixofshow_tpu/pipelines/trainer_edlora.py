@@ -124,12 +124,16 @@ def attn_reg_loss(cross_probs, masks, concept_pos, concept_pos_mask,
         cat = jnp.concatenate(plist, axis=1)   # heads*layers on axis 1
         amap = cat.mean(axis=1).reshape(b, h, w, cat.shape[-1])
         amap = amap.astype(jnp.float32)
-        # gather concept columns: (B, h, w, 2); zero out padded positions
-        # (concept_pos_mask marks which of [adjective, subject] were found —
-        # padded entries index position 0, the BOS column, which must not
-        # enter the normalization or the penalty)
-        sel = jnp.take_along_axis(
-            amap, concept_pos[:, None, None, :], axis=-1)
+        # concept columns (B, h, w, 2) — pre-sliced inside the UNet when
+        # prob_columns was passed (last dim == K), else gathered here; zero
+        # out padded positions (concept_pos_mask marks which of
+        # [adjective, subject] were found — padded entries index position 0,
+        # the BOS column, which must not enter the normalization or penalty)
+        if amap.shape[-1] == concept_pos.shape[-1]:
+            sel = amap
+        else:
+            sel = jnp.take_along_axis(
+                amap, concept_pos[:, None, None, :], axis=-1)
         if concept_pos_mask is not None:
             sel = sel * concept_pos_mask[:, None, None, :]
             v_adj = concept_pos_mask[:, 0]
@@ -240,17 +244,23 @@ class EDLoRATrainer:
 
     @property
     def frozen_params(self):
-        """The non-trainable model weights, passed to the compiled step."""
-        return {'unet': self.unet_params,
-                'text_encoder': self.text_encoder_params,
-                'vae': self.vae_params}
+        """The non-trainable model weights, passed to the compiled step
+        (device-pinned once — host leaves would re-transfer every step)."""
+        if getattr(self, '_frozen_device', None) is None:
+            from mixofshow_tpu.models.layers import to_device
+            self._frozen_device = to_device(
+                {'unet': self.unet_params,
+                 'text_encoder': self.text_encoder_params,
+                 'vae': self.vae_params})
+        return self._frozen_device
 
     # -------------------------------------------------------------- states
     def init_state(self, optimizer: optax.GradientTransformation) -> TrainState:
-        # fresh buffer copies: the train step donates its input state, and
-        # donated buffers must not alias self.trainable_init
-        trainable = jax.tree.map(lambda x: jnp.array(x, copy=True),
-                                 self.trainable_init)
+        # one batched host->device transfer, then fresh on-device copies:
+        # the train step donates its input state, and donated buffers must
+        # not alias self.trainable_init
+        on_device = jax.device_put(self.trainable_init)
+        trainable = jax.tree.map(lambda x: jnp.array(x, copy=True), on_device)
         return TrainState(
             trainable=trainable,
             opt_state=optimizer.init(trainable),
@@ -305,7 +315,9 @@ class EDLoRATrainer:
         pred, aux = unet_apply(
             frozen['unet'], noisy.astype(cdt), t, ehs, self.unet_config,
             lora=trainable['unet_lora'] or None, lora_alpha=self.lora_alpha,
-            return_cross_probs=want_probs, remat=self.gradient_checkpoint)
+            return_cross_probs=want_probs,
+            prob_columns=batch['concept_pos'] if want_probs else None,
+            remat=self.gradient_checkpoint)
 
         target = self.scheduler.target(latents, noise, t)
         loss_mask = (batch['masks'] if self.use_mask_loss
