@@ -39,11 +39,45 @@ def test_flash_cross_attention_shape():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
 
 
+def test_flash_masked_kv_matches_dense():
+    """77 text keys pad to one masked 128-key block — the cross-attention
+    fast path (the reference's xformers covers this case too,
+    edlora.py:151-153)."""
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, 256, 2, 40))
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 77, 2, 40))
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 77, 2, 40))
+    out = flash_attention(q, k, v, block_q=64, block_k=128)
+    ref = _dense(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+def test_flash_masked_kv_gradients():
+    """VJP through the masked-K path: padded key columns get zero grads and
+    real columns match the dense backward."""
+    q = jax.random.normal(jax.random.PRNGKey(3), (1, 128, 1, 40))
+    k = jax.random.normal(jax.random.PRNGKey(4), (1, 77, 1, 40))
+    v = jax.random.normal(jax.random.PRNGKey(5), (1, 77, 1, 40))
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, block_q=64, block_k=128) ** 2).sum()
+
+    def loss_dense(q, k, v):
+        return (_dense(q, k, v) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-2, rtol=5e-2)
+
+
 def test_flash_supported_rules():
     assert flash_attention_supported(4096, 4096, 40)
     assert flash_attention_supported(1024, 1024, 160)
+    assert flash_attention_supported(32768, 1280, 40)    # unaligned large sk
     assert not flash_attention_supported(4096, 77, 40)   # text keys → dense
-    assert not flash_attention_supported(64, 64, 512)    # VAE head too wide
+    assert not flash_attention_supported(64, 64, 40)     # tiny q → dense
+    assert not flash_attention_supported(4096, 4096, 512)  # head too wide
 
 
 def test_attention_store_average():
