@@ -23,13 +23,17 @@ def _ours_to_torch_module(path: str) -> str:
                 'out': 'out_proj'}[parts[3]]
         return f'text_model.encoder.layers.{parts[1]}.self_attn.{proj}'
     if parts[0] == 'mid':
-        attn, leaf = parts[2], parts[3]
-        leaf = 'to_out.0' if leaf == 'to_out' else leaf
-        return f'mid_block.attentions.0.transformer_blocks.0.{attn}.{leaf}'
-    # down_blocks/up_blocks: ['down_blocks', i, 'attentions', j, attn, leaf]
-    blk, i, _, j, attn, leaf = parts
-    leaf = 'to_out.0' if leaf == 'to_out' else leaf
-    return f'{blk}.{i}.attentions.{j}.transformer_blocks.0.{attn}.{leaf}'
+        base, inner = 'mid_block.attentions.0', parts[2:]
+    else:
+        # down_blocks/up_blocks: ['down_blocks', i, 'attentions', j, ...]
+        base, inner = f'{parts[0]}.{parts[1]}.attentions.{parts[3]}', parts[4:]
+    if inner[0] in ('proj_in', 'proj_out'):  # convs on Transformer2DModel
+        return f'{base}.{inner[0]}'
+    if inner[0] == 'ff':  # diffusers FeedForward: net.0 = GEGLU, net.2 = out
+        leaf = 'ff.net.0.proj' if inner[1] == 'proj' else 'ff.net.2'
+    else:
+        leaf = f"{inner[0]}.{'to_out.0' if inner[1] == 'to_out' else inner[1]}"
+    return f'{base}.transformer_blocks.0.{leaf}'
 
 
 def export_edlora_delta(delta: Dict) -> Dict:

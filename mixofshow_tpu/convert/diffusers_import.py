@@ -291,6 +291,12 @@ def _torch_module_path_to_ours(name: str) -> Optional[List[str]]:
        -> ['down_blocks','0','attentions','1','attn2','to_k']
          'mid_block.attentions.0.transformer_blocks.0.attn1.to_q'
        -> ['mid','attention','attn1','to_q']
+         'up_blocks.1.attentions.0.transformer_blocks.0.ff.net.0.proj'
+       -> ['up_blocks','1','attentions','0','ff','proj']
+         'down_blocks.0.attentions.1.proj_in'   (1x1 conv on the
+       Transformer2DModel itself, fusion's phase-4 candidate list —
+       reference gradient_fusion.py:637-641)
+       -> ['down_blocks','0','attentions','1','proj_in']
          'text_model.encoder.layers.3.self_attn.q_proj'
        -> ['blocks','3','attn','q']
     """
@@ -302,18 +308,25 @@ def _torch_module_path_to_ours(name: str) -> Optional[List[str]]:
         return ['blocks', i, 'attn', {'q': 'q', 'k': 'k', 'v': 'v',
                                       'out': 'out'}[proj]]
     if parts[0] == 'mid_block':
-        rest = parts[4:]  # after transformer_blocks.0
-        return ['mid', 'attention'] + _strip_to_out(rest)
-    if parts[0] in ('down_blocks', 'up_blocks'):
-        # down_blocks.{i}.attentions.{j}.transformer_blocks.0.<attn>.<leaf>
-        rest = parts[6:]
-        return [parts[0], parts[1], 'attentions', parts[3]] + _strip_to_out(rest)
-    return None
+        base, rest = ['mid', 'attention'], parts[3:]
+    elif parts[0] in ('down_blocks', 'up_blocks'):
+        base, rest = [parts[0], parts[1], 'attentions', parts[3]], parts[4:]
+    else:
+        return None
+    # rest: 'proj_in'/'proj_out' directly, or 'transformer_blocks.0.<inner>'
+    if rest[:1] in (['proj_in'], ['proj_out']):
+        return base + [rest[0]]
+    if rest[:2] != ['transformer_blocks', '0']:
+        return None
+    return base + _map_inner(rest[2:])
 
 
-def _strip_to_out(rest: List[str]) -> List[str]:
-    # 'to_out.0' -> 'to_out'
-    return [p for p in rest if p != '0']
+def _map_inner(inner: List[str]) -> List[str]:
+    # 'to_out.0' -> 'to_out'; 'ff.net.0.proj' -> 'ff/proj'; 'ff.net.2' ->
+    # 'ff/out' (diffusers FeedForward: net.0 = GEGLU, net.2 = out Linear)
+    if inner[:2] == ['ff', 'net']:
+        return ['ff', 'out' if inner[2] == '2' else 'proj']
+    return [p for p in inner if p != '0']
 
 
 def convert_edlora_delta(delta) -> Dict:

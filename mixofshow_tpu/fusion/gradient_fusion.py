@@ -268,9 +268,25 @@ def merge_kv_in_cross_attention(parsed, concept_list, new_concept_cfg,
 
 
 # ------------------------------------------------------ phase 4: spatial
+# leaf (relative to the transformer-block prefix) -> UNet gram capture point.
+# Full reference candidate coverage (gradient_fusion.py:637-641: attn2
+# q/out, attn1.*, ff.net.0.proj / ff.net.2, proj_in / proj_out).
 _UNET_POINT = {'attn1/to_q': 'attn1_qkv', 'attn1/to_k': 'attn1_qkv',
                'attn1/to_v': 'attn1_qkv', 'attn1/to_out': 'attn1_out',
-               'attn2/to_q': 'attn2_q', 'attn2/to_out': 'attn2_out'}
+               'attn2/to_q': 'attn2_q', 'attn2/to_out': 'attn2_out',
+               'ff/proj': 'ff_in', 'ff/out': 'ff_out',
+               'proj_in': 'proj_in', 'proj_out': 'proj_out'}
+
+
+def _split_spatial_path(path: str, prefix_to_idx):
+    """'down_blocks/0/attentions/1/attn1/to_q' -> (layer_idx, 'attn1/to_q');
+    single-segment leaves (proj_in/proj_out) split one level up."""
+    if path.endswith(('proj_in', 'proj_out')):
+        prefix, leaf = path.rsplit('/', 1)
+    else:
+        prefix = path.rsplit('/', 2)[0]
+        leaf = '/'.join(path.split('/')[-2:])
+    return prefix_to_idx.get(prefix), leaf
 
 
 def merge_spatial_attention(parsed, concept_list, new_concept_cfg, tokenizer,
@@ -295,6 +311,13 @@ def merge_spatial_attention(parsed, concept_list, new_concept_cfg, tokenizer,
 
     prefixes = cross_layer_paths(unet_config)
     prefix_to_idx = {p: i for i, p in enumerate(prefixes)}
+    # capture only the gram points some delta actually carries (ff grams are
+    # (4c, 4c) — expensive to emit when no ff layer needs solving)
+    needed_points = tuple(sorted({
+        _UNET_POINT[leaf]
+        for _, leaf in (_split_spatial_path(p, prefix_to_idx)
+                        for p in layer_paths)
+        if leaf in _UNET_POINT}))
     scheduler = scheduler or DPMSolverMultistep.create()
     coeffs = scheduler.step_coeffs(num_inference_steps)
     n = num_inference_steps
@@ -317,7 +340,8 @@ def merge_spatial_attention(parsed, concept_list, new_concept_cfg, tokenizer,
             eps, aux = unet_apply(unet_c, sample.astype(compute_dtype),
                                   jnp.broadcast_to(coeffs.timestep[i], (1,)),
                                   embeds, unet_config, lora=lora,
-                                  lora_alpha=alpha, capture_grams=True)
+                                  lora_alpha=alpha,
+                                  capture_grams=needed_points)
             w = rec[i]
             gsum = jax.tree.map(lambda a, g: a + w * g, gsum, aux['grams'])
             new_sample, m0 = scheduler.step(sample, m_prev, eps.astype(
@@ -328,7 +352,7 @@ def merge_spatial_attention(parsed, concept_list, new_concept_cfg, tokenizer,
                                                   compute_dtype),
                                 jnp.zeros((1,), jnp.int32), embeds,
                                 unet_config, lora=lora, lora_alpha=alpha,
-                                capture_grams=True)
+                                capture_grams=needed_points)
         gsum0 = jax.tree.map(jnp.zeros_like, aux0['grams'])
         (final, _, gsum), _ = jax.lax.scan(
             body, (latents, jnp.zeros_like(latents), gsum0), jnp.arange(n))
@@ -357,9 +381,7 @@ def merge_spatial_attention(parsed, concept_list, new_concept_cfg, tokenizer,
 
         lora_flat = flatten_lora(data['unet_spatial'])
         for path in layer_paths:
-            prefix, leaf = path.rsplit('/', 2)[0], '/'.join(
-                path.split('/')[-2:])
-            layer_idx = prefix_to_idx.get(prefix)
+            layer_idx, leaf = _split_spatial_path(path, prefix_to_idx)
             point = _UNET_POINT.get(leaf)
             if layer_idx is None or point is None:
                 logger.warning('no capture point for %s — skipped', path)
@@ -372,7 +394,11 @@ def merge_spatial_attention(parsed, concept_list, new_concept_cfg, tokenizer,
                 d_sums[path] = d if d_sums[path] is None else d_sums[path] + d
 
     active = [p for p in layer_paths if g_sums[p] is not None]
-    anchors = [np.asarray(get_path(unet_params, p)['kernel'], np.float32)
+    # 1x1-conv kernels (proj_in/proj_out) solve as their (in, out) matrix;
+    # _apply_kernels restores the original (1, 1, in, out) shape
+    anchors = [np.asarray(get_path(unet_params, p)['kernel'],
+                          np.float32).reshape(-1, np.asarray(
+                              get_path(unet_params, p)['kernel']).shape[-1])
                for p in active]
     deltas = [d_sums[p] if d_sums[p] is not None else np.zeros_like(a)
               for p, a in zip(active, anchors)]

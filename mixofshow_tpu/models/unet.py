@@ -76,6 +76,33 @@ class UNetConfig:
         return down + 1 + up  # +1 for mid — 16 for SD1.5
 
 
+def cross_layer_query_sizes(cfg: UNetConfig, h: int, w: int):
+    """Static (place, layer_idx, q_len) of every cross-attn layer at latent
+    size (h, w) — lets callers pre-size per-layer capture buffers (the
+    inference attention-controller path keeps only small maps, mirroring the
+    reference's <=32^2 inference store, ptp_util.py:74-77)."""
+    sizes = []
+    idx = 0
+    ch, cw = h, w
+    for i, has_cross in enumerate(cfg.down_cross):
+        if has_cross:
+            for _ in range(cfg.layers_per_block):
+                sizes.append(('down', idx, ch * cw))
+                idx += 1
+        if i < len(cfg.block_out_channels) - 1:
+            ch, cw = -(-ch // 2), -(-cw // 2)  # SAME-padded stride-2 conv
+    sizes.append(('mid', idx, ch * cw))
+    idx += 1
+    for i, has_cross in enumerate(cfg.up_cross):
+        if has_cross:
+            for _ in range(cfg.layers_per_block + 1):
+                sizes.append(('up', idx, ch * cw))
+                idx += 1
+        if i < len(cfg.block_out_channels) - 1:
+            ch, cw = 2 * ch, 2 * cw
+    return sizes
+
+
 def cross_layer_paths(cfg: UNetConfig):
     """Param-tree path prefix of each cross-attention transformer block in
     layer-index order (down→mid→up — the ordering every ED-LoRA mechanism
@@ -235,10 +262,25 @@ def mh_attention(p, x, context, heads: int, lora=None, alpha=1.0,
     return out, probs
 
 
-def _geglu_ff(p, x):
-    h = dense(p['proj'], x)
+def _geglu_ff(p, x, lora=None, alpha=1.0, return_inner: bool = False):
+    h = dense(p['proj'], x, maybe(lora, 'proj'), alpha)
     h, gate = jnp.split(h, 2, axis=-1)
-    return dense(p['out'], h * jax.nn.gelu(gate))
+    inner = h * jax.nn.gelu(gate)
+    out = dense(p['out'], inner, maybe(lora, 'out'), alpha)
+    if return_inner:
+        return out, inner
+    return out
+
+
+# Gram capture points for the fusion spatial phase — the full candidate list
+# of the reference (gradient_fusion.py:637-641: attn2.to_q/to_out, attn1.*,
+# ff.net.*, proj_in/proj_out). `capture_grams=True` captures the attention
+# subset (the layers ED-LoRA training actually adapts); a tuple captures
+# exactly the named points (ff/proj grams are large — inner dim is 4c — so
+# they are only computed when a delta carries those layers).
+DEFAULT_GRAM_POINTS = ('attn1_qkv', 'attn1_out', 'attn2_q', 'attn2_out')
+ALL_GRAM_POINTS = DEFAULT_GRAM_POINTS + ('ff_in', 'ff_out',
+                                         'proj_in', 'proj_out')
 
 
 def _transformer(p, x, context, layer_idx: int, place: str, cfg: UNetConfig,
@@ -253,17 +295,25 @@ def _transformer(p, x, context, layer_idx: int, place: str, cfg: UNetConfig,
     `layer_idx` here, mirroring EDLoRA_AttnProcessor (edlora.py:130-131).
 
     `capture_grams` additionally emits fp32 input Gram matrices for the
-    spatial linears fusion optimizes (attn1 q/k/v/out, attn2 q/out —
-    reference gradient_fusion.py:637-641 hook targets); attn2 k/v inputs are
-    text features handled by the cross-KV phase instead."""
+    spatial linears fusion optimizes (reference gradient_fusion.py:637-641
+    hook targets — attn1.*, attn2 q/out, ff.net.*, proj_in/proj_out); attn2
+    k/v inputs are text features handled by the cross-KV phase instead.
+    True captures DEFAULT_GRAM_POINTS; a tuple captures the named points."""
     from mixofshow_tpu.ops.solve import gram
+
+    points = (DEFAULT_GRAM_POINTS if capture_grams is True
+              else capture_grams or ())
 
     b, h, w, c = x.shape
     residual = x
-    hid = group_norm(p['norm'], x, cfg.norm_groups, eps=1e-6)
-    hid = conv2d(p['proj_in'], hid).reshape(b, h * w, c)
+    gn_out = group_norm(p['norm'], x, cfg.norm_groups, eps=1e-6)
+    hid = conv2d(p['proj_in'], gn_out,
+                 lora=maybe(lora, 'proj_in'),
+                 alpha=alpha).reshape(b, h * w, c)
 
     grams = {}
+    if 'proj_in' in points:
+        grams['proj_in'] = gram(gn_out.reshape(b, h * w, c))
 
     # self-attention
     attn_in = layer_norm(p['ln1'], hid)
@@ -271,8 +321,9 @@ def _transformer(p, x, context, layer_idx: int, place: str, cfg: UNetConfig,
                                  cfg.attention_heads,
                                  maybe(lora, 'attn1'), alpha,
                                  return_pre_out=True)
-    if capture_grams:
+    if 'attn1_qkv' in points:
         grams['attn1_qkv'] = gram(attn_in)
+    if 'attn1_out' in points:
         grams['attn1_out'] = gram(sa_pre)
     hid = hid + sa
 
@@ -299,16 +350,26 @@ def _transformer(p, x, context, layer_idx: int, place: str, cfg: UNetConfig,
                 probs, jnp.broadcast_to(
                     cols, (*probs.shape[:3], prob_columns.shape[-1])),
                 axis=-1)
-    if capture_grams:
+    if 'attn2_q' in points:
         grams['attn2_q'] = gram(attn_in)
-        if ca_pre is not None:
-            grams['attn2_out'] = gram(ca_pre)
+    if 'attn2_out' in points and ca_pre is not None:
+        grams['attn2_out'] = gram(ca_pre)
     hid = hid + ca
 
     # feed-forward (GEGLU)
-    hid = hid + _geglu_ff(p['ff'], layer_norm(p['ln3'], hid))
+    ff_in = layer_norm(p['ln3'], hid)
+    ff_out, ff_inner = _geglu_ff(p['ff'], ff_in, maybe(lora, 'ff'), alpha,
+                                 return_inner=True)
+    if 'ff_in' in points:
+        grams['ff_in'] = gram(ff_in)
+    if 'ff_out' in points:
+        grams['ff_out'] = gram(ff_inner)
+    hid = hid + ff_out
 
-    hid = conv2d(p['proj_out'], hid.reshape(b, h, w, c))
+    if 'proj_out' in points:
+        grams['proj_out'] = gram(hid)
+    hid = conv2d(p['proj_out'], hid.reshape(b, h, w, c),
+                 lora=maybe(lora, 'proj_out'), alpha=alpha)
     return hid + residual, probs, grams
 
 

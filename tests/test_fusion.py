@@ -179,6 +179,85 @@ def test_compose_concepts_end_to_end(tmp_path):
     assert img.shape == (1, 64, 64, 3) and np.isfinite(img).all()
 
 
+def test_spatial_phase_covers_ff_and_proj(caplog):
+    """Phase 4 must solve the reference's FULL candidate list — ff.net.*,
+    proj_in, proj_out included (reference gradient_fusion.py:637-641) — when
+    a (reference-trained) delta carries those layers. Exercises the torch-key
+    import path, the gram capture points, and the 1x1-conv kernel solve."""
+    import logging
+    from mixofshow_tpu.convert.diffusers_import import convert_edlora_delta
+    from mixofshow_tpu.fusion.gradient_fusion import (merge_new_concepts,
+                                                      merge_spatial_attention)
+
+    ucfg, ccfg, vcfg = tiny_configs()
+    unet = init_unet(0, ucfg)
+    te = init_clip_text(1, ccfg)
+    tok = CLIPTokenizer()
+    r = np.random.default_rng(5)
+    c0 = ucfg.block_out_channels[0]
+    inner = 4 * c0
+    prefix = 'down_blocks.0.attentions.0'
+
+    def lin_pair(i, o):  # torch Linear LoRA: down (r, in), up (out, r)
+        return {'lora_down.weight': 0.1 * r.normal(size=(4, i)).astype('f'),
+                'lora_up.weight': 0.1 * r.normal(size=(o, 4)).astype('f')}
+
+    def conv_pair(i, o):  # torch 1x1 Conv2d LoRA: 4-dim weights
+        return {'lora_down.weight':
+                0.1 * r.normal(size=(4, i, 1, 1)).astype('f'),
+                'lora_up.weight':
+                0.1 * r.normal(size=(o, 4, 1, 1)).astype('f')}
+
+    unet_delta = {}
+    mods = {
+        f'{prefix}.transformer_blocks.0.ff.net.0.proj':
+            lin_pair(c0, 2 * inner),
+        f'{prefix}.transformer_blocks.0.ff.net.2': lin_pair(inner, c0),
+        f'{prefix}.proj_in': conv_pair(c0, c0),
+        f'{prefix}.proj_out': conv_pair(c0, c0),
+        f'{prefix}.transformer_blocks.0.attn1.to_q': lin_pair(c0, c0),
+    }
+    for mod, pair in mods.items():
+        for k, v in pair.items():
+            unet_delta[f'{mod}.{k}'] = v
+    hidden = np.asarray(te['token_embedding']).shape[1]
+    delta = {'params': {
+        'new_concept_embedding':
+            {'<z1>': 0.01 * r.normal(size=(16, hidden)).astype('f')},
+        'text_encoder': {}, 'unet': unet_delta}}
+
+    out = convert_edlora_delta(delta)
+    expected_paths = {
+        'down_blocks/0/attentions/0/ff/proj',
+        'down_blocks/0/attentions/0/ff/out',
+        'down_blocks/0/attentions/0/proj_in',
+        'down_blocks/0/attentions/0/proj_out',
+        'down_blocks/0/attentions/0/attn1/to_q',
+    }
+    from mixofshow_tpu.models.lora import flatten_lora
+    assert set(flatten_lora(out['unet_lora'])) == expected_paths
+
+    parsed = [{'embedding': out['new_concept_embedding'],
+               'text_lora': {}, 'unet_crosskv': {},
+               'unet_spatial': out['unet_lora']}]
+    concept_list = [{'lora_path': 'inline', 'concept_name': '<z1>',
+                     'unet_alpha': 1.0}]
+    new_cfg, table = merge_new_concepts(parsed, concept_list, tok)
+    with caplog.at_level(logging.WARNING, logger='mixofshow_tpu'):
+        new_unet, solved = merge_spatial_attention(
+            parsed, concept_list, new_cfg, tok, te, ccfg, table, unet, ucfg,
+            num_inference_steps=2, record_nums=2,
+            image_size=8 * ucfg.sample_size, compute_dtype=jnp.float32)
+    assert 'no capture point' not in caplog.text
+    assert set(solved) == expected_paths
+    from mixofshow_tpu.models.lora import get_path
+    for p in expected_paths:
+        old = np.asarray(get_path(unet, p)['kernel'])
+        new = np.asarray(get_path(new_unet, p)['kernel'])
+        assert old.shape == new.shape
+        assert not np.allclose(old, new, atol=1e-7), f'{p} not updated'
+
+
 def test_lbfgs_path_matches_spectral():
     """The iterative LBFGS parity path converges to the exact solve."""
     r = np.random.default_rng(7)
