@@ -44,30 +44,77 @@ def _encode_ids(te_params, ids, concept_embedding, ccfg, lora=None,
 
 @functools.partial(
     jax.jit,
-    static_argnames=('ucfg', 'use_cfg'),
+    static_argnames=('ucfg', 'use_cfg', 'capture_sizes'),
     donate_argnames=('latents',))
 def _sample_loop(unet_params, lora, lora_alpha, prompt_embeds, latents,
                  guidance_scale, coeffs, ucfg: UNetConfig,
-                 solver: DPMSolverMultistep, use_cfg: bool):
-    """Full denoise loop as one scan. prompt_embeds: (2B or B, 16, 77, C)."""
+                 solver: DPMSolverMultistep, use_cfg: bool,
+                 capture_sizes=()):
+    """Full denoise loop as one scan. prompt_embeds: (2B or B, 16, 77, C).
+
+    `capture_sizes` — static ((place, layer_idx, q_len), ...) — turns on the
+    attention-controller path: those layers' cross-attention probabilities
+    are SUMMED over steps inside the scan carry (constant memory) and
+    returned for the host-side AttentionStore (replaces the reference's
+    controller processor + per-step callback,
+    pipeline_edlora.py:107,292-295 / edlora.py:193-218)."""
+    capture = {(place, idx): q for place, idx, q in capture_sizes}
+
     def body(carry, i):
-        sample, m_prev = carry
+        sample, m_prev, psum = carry
         latent_in = jnp.concatenate([sample, sample]) if use_cfg else sample
         t = coeffs.timestep[i]
-        eps, _ = unet_apply(unet_params, latent_in,
-                            jnp.broadcast_to(t, (latent_in.shape[0],)),
-                            prompt_embeds, ucfg, lora=lora,
-                            lora_alpha=lora_alpha)
+        eps, aux = unet_apply(unet_params, latent_in,
+                              jnp.broadcast_to(t, (latent_in.shape[0],)),
+                              prompt_embeds, ucfg, lora=lora,
+                              lora_alpha=lora_alpha,
+                              return_cross_probs=bool(capture))
+        if capture:
+            for place, idx, probs in aux['cross_probs']:
+                if (place, idx) in psum:
+                    psum[(place, idx)] = psum[(place, idx)] \
+                        + probs.astype(jnp.float32)
         if use_cfg:
             eps_u, eps_c = jnp.split(eps, 2)
             eps = eps_u + guidance_scale * (eps_c - eps_u)
         new_sample, m0 = solver.step(sample, m_prev, eps, coeffs, i)
-        return (new_sample, m0), None
+        return (new_sample, m0, psum), None
 
+    bsz = prompt_embeds.shape[0]
+    klen = prompt_embeds.shape[-2]
+    psum0 = {(place, idx): jnp.zeros((bsz, ucfg.attention_heads, q, klen),
+                                     jnp.float32)
+             for place, idx, q in capture_sizes}
     n = coeffs.timestep.shape[0]
-    (final, _), _ = jax.lax.scan(
-        body, (latents, jnp.zeros_like(latents)), jnp.arange(n))
-    return final
+    (final, _, psum), _ = jax.lax.scan(
+        body, (latents, jnp.zeros_like(latents), psum0), jnp.arange(n))
+    return final, psum
+
+
+@functools.partial(
+    jax.jit, static_argnames=('ucfg', 'use_cfg', 'capture_sizes'))
+def _single_step(unet_params, lora, lora_alpha, prompt_embeds, sample,
+                 m_prev, guidance_scale, coeffs, i, ucfg: UNetConfig,
+                 solver: DPMSolverMultistep, use_cfg: bool,
+                 capture_sizes=()):
+    """One denoise step (the callback path — per-step host control like the
+    reference's Python loop, pipeline_edlora.py:271-295)."""
+    capture = {(place, idx) for place, idx, _ in capture_sizes}
+    latent_in = jnp.concatenate([sample, sample]) if use_cfg else sample
+    t = coeffs.timestep[i]
+    eps, aux = unet_apply(unet_params, latent_in,
+                          jnp.broadcast_to(t, (latent_in.shape[0],)),
+                          prompt_embeds, ucfg, lora=lora,
+                          lora_alpha=lora_alpha,
+                          return_cross_probs=bool(capture))
+    probs = {(place, idx): p.astype(jnp.float32)
+             for place, idx, p in aux.get('cross_probs', [])
+             if (place, idx) in capture}
+    if use_cfg:
+        eps_u, eps_c = jnp.split(eps, 2)
+        eps = eps_u + guidance_scale * (eps_c - eps_u)
+    new_sample, m0 = solver.step(sample, m_prev, eps, coeffs, i)
+    return new_sample, m0, probs
 
 
 @functools.partial(jax.jit, static_argnames=('vcfg',))
@@ -119,9 +166,20 @@ class EDLoRAPipeline:
         self.text_lora = None if text_lora is None else \
             to_device(cast_floats(text_lora, dtype))
         self.lora_alpha = lora_alpha
+        self.controller = None
 
     def set_new_concept_cfg(self, new_concept_cfg: Optional[Dict] = None):
         self.new_concept_cfg = new_concept_cfg
+
+    def set_controller(self, controller):
+        """Attach an attention controller (utils.ptp.AttentionStore) fed with
+        cross-attention maps captured during sampling — the reference's
+        set_controller + EDLoRA_Control_AttnProcessor path
+        (pipeline_edlora.py:107, edlora.py:193-218). Maps larger than the
+        controller's max_size**2 queries are never materialized (the
+        reference's <=32^2 inference store, ptp_util.py:74-77). Pass None to
+        detach."""
+        self.controller = controller
 
     # ------------------------------------------------------------ encoding
     def encode_prompt(self, prompt: Union[str, Sequence[str]],
@@ -157,6 +215,32 @@ class EDLoRAPipeline:
             nemb[:, None], (b, NUM_CROSS_ATTENTION_LAYERS, *nemb.shape[1:]))
         return jnp.concatenate([nemb, emb])
 
+    def _stepwise_loop(self, embeds, lat, guidance_scale, coeffs, do_cfg,
+                       capture_sizes, callback, callback_steps):
+        """Python-loop sampling for per-step host callbacks (reference
+        pipeline_edlora.py:292-295: `callback(i, t, latents)` +
+        `controller.step_callback`). One jitted step, reused across i."""
+        n = int(coeffs.timestep.shape[0])
+        sample, m_prev = lat, jnp.zeros_like(lat)
+        psum = {}
+        alpha = jnp.asarray(self.lora_alpha, self.dtype)
+        embeds = embeds.astype(self.dtype)
+        for i in range(n):
+            sample, m_prev, probs = _single_step(
+                self.unet_params, self.unet_lora, alpha, embeds, sample,
+                m_prev, jnp.float32(guidance_scale), coeffs, jnp.int32(i),
+                self.unet_config, self.scheduler, do_cfg, capture_sizes)
+            for key, p in probs.items():
+                psum[key] = p if key not in psum else psum[key] + p
+            if self.controller is not None and \
+                    hasattr(self.controller, 'step_callback'):
+                stepped = self.controller.step_callback(np.asarray(sample))
+                if stepped is not None:
+                    sample = jnp.asarray(stepped, sample.dtype)
+            if callback is not None and i % callback_steps == 0:
+                callback(i, int(coeffs.timestep[i]), np.asarray(sample))
+        return sample, psum
+
     # ------------------------------------------------------------ sampling
     def __call__(self,
                  prompt: Union[str, Sequence[str]] = None,
@@ -165,7 +249,11 @@ class EDLoRAPipeline:
                  num_inference_steps: int = 50,
                  guidance_scale: float = 7.5,
                  negative_prompt: Optional[Union[str, Sequence[str]]] = None,
+                 num_images_per_prompt: int = 1,
                  latents: Optional[np.ndarray] = None,
+                 prompt_embeds: Optional[jnp.ndarray] = None,
+                 callback=None,
+                 callback_steps: int = 1,
                  seed: int = 0,
                  output_type: str = 'np'):
         """Sample images. Returns (B, H, W, 3) float np array in [0,1]
@@ -173,11 +261,31 @@ class EDLoRAPipeline:
 
         `latents` accepts externally supplied noise — NCHW (B,4,h,w) like the
         reference (pipeline_edlora.py:204) or NHWC — which is the fp32-parity
-        path (SURVEY.md §7)."""
-        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
-        b = len(prompts)
-        do_cfg = guidance_scale > 1.0
-        embeds = self.encode_prompt(prompt, negative_prompt, do_cfg)
+        path (SURVEY.md §7). `prompt_embeds` bypasses encoding with
+        pre-computed (2B or B, 16, 77, C) embeddings; `callback(i, t,
+        latents_nhwc)` is invoked every `callback_steps` steps (this takes
+        the stepwise path — one jitted step per call instead of one scan —
+        mirroring reference pipeline_edlora.py:201-211,292-295)."""
+        if prompt_embeds is not None:
+            embeds = jnp.asarray(prompt_embeds)
+            do_cfg = guidance_scale > 1.0
+            b = embeds.shape[0] // 2 if do_cfg else embeds.shape[0]
+        else:
+            prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+            b = len(prompts)
+            do_cfg = guidance_scale > 1.0
+            embeds = self.encode_prompt(prompt, negative_prompt, do_cfg)
+        if num_images_per_prompt > 1:
+            # group repeats per prompt (reference repeat_interleave-style,
+            # pipeline_edlora.py:146-150), keeping [uncond; cond] halves
+            n = num_images_per_prompt
+            if do_cfg:
+                neg, pos = jnp.split(embeds, 2)
+                embeds = jnp.concatenate([jnp.repeat(neg, n, axis=0),
+                                          jnp.repeat(pos, n, axis=0)])
+            else:
+                embeds = jnp.repeat(embeds, n, axis=0)
+            b = b * n
 
         h, w = height // 8, width // 8
         if latents is None:
@@ -203,11 +311,30 @@ class EDLoRAPipeline:
                 embeds = jax.device_put(embeds, sh)
 
         coeffs = self.scheduler.step_coeffs(num_inference_steps)
-        final = _sample_loop(self.unet_params, self.unet_lora,
-                             jnp.asarray(self.lora_alpha, self.dtype),
-                             embeds.astype(self.dtype), lat,
-                             jnp.float32(guidance_scale), coeffs,
-                             self.unet_config, self.scheduler, do_cfg)
+        capture_sizes = ()
+        if self.controller is not None:
+            from mixofshow_tpu.models.unet import cross_layer_query_sizes
+            capture_sizes = tuple(
+                (place, idx, q)
+                for place, idx, q in cross_layer_query_sizes(
+                    self.unet_config, h, w)
+                if q <= self.controller.max_size ** 2)
+        if callback is not None:
+            final, psum = self._stepwise_loop(
+                embeds, lat, guidance_scale, coeffs, do_cfg, capture_sizes,
+                callback, callback_steps)
+        else:
+            final, psum = _sample_loop(
+                self.unet_params, self.unet_lora,
+                jnp.asarray(self.lora_alpha, self.dtype),
+                embeds.astype(self.dtype), lat,
+                jnp.float32(guidance_scale), coeffs,
+                self.unet_config, self.scheduler, do_cfg, capture_sizes)
+        if self.controller is not None:
+            self.controller.store_summed(
+                [(place, idx, np.asarray(m))
+                 for (place, idx), m in sorted(psum.items())],
+                num_inference_steps)
         if output_type == 'latent':
             return np.asarray(final)
         img = _decode(self.vae_params, final.astype(self.dtype),

@@ -31,18 +31,33 @@ def visual_validation(pipe: EDLoRAPipeline, val_dataset, suffix: str,
     batch_size = opt['datasets']['val_vis'].get('batch_size_per_gpu', 4)
     vis_dir = os.path.join(opt['path']['visualization'], suffix)
 
+    # distributed validation: with a mesh on the pipe, pad each batch to a
+    # multiple of the 'data' axis so samples spread across chips (the
+    # reference splits validation across accelerate processes,
+    # test_edlora.py:24-57; here XLA shards one program instead)
+    n_data = pipe.mesh.shape['data'] if pipe.mesh is not None else 1
+    if n_data > 1 and batch_size % n_data:
+        batch_size = -(-batch_size // n_data) * n_data
+
     loader = DataLoader(val_dataset, batch_size=batch_size, shuffle=False,
                         drop_last=False, collate_fn=default_collate)
     for batch in loader:
         latents = np.stack(batch['latents']) if isinstance(
             batch['latents'], list) else batch['latents']
-        images = pipe(batch['prompts'],
+        prompts = list(batch['prompts'])
+        n_real = len(prompts)
+        if n_data > 1 and n_real % n_data:
+            pad = -(-n_real // n_data) * n_data - n_real
+            prompts = prompts + [prompts[-1]] * pad
+            latents = np.concatenate(
+                [latents, np.repeat(latents[-1:], pad, axis=0)])
+        images = pipe(prompts,
                       height=latents.shape[-2] * 8,
                       width=latents.shape[-1] * 8,
                       num_inference_steps=steps,
                       guidance_scale=guidance,
-                      negative_prompt=[NEGATIVE_PROMPT] * len(batch['prompts']),
-                      latents=latents)
+                      negative_prompt=[NEGATIVE_PROMPT] * len(prompts),
+                      latents=latents)[:n_real]
         for img, prompt, idx in zip(images, batch['prompts'],
                                     batch['indices']):
             name = (f'{safe_filename(prompt)}---G_{guidance}_S_{steps}---'

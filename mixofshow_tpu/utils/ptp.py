@@ -59,6 +59,31 @@ class AttentionStore:
         self.step_store = {}
         self.cur_step += 1
 
+    def store_summed(self, cross_probs: List[Tuple[str, int, np.ndarray]],
+                     num_steps: int):
+        """Ingest maps already SUMMED over `num_steps` diffusion steps.
+
+        The jit sampling loop carries running prob sums through the scan
+        instead of materializing per-step maps (pipeline_edlora._sample_loop)
+        — mathematically identical to feeding store_step once per step
+        (reference ptp_util.py:79-98 sums across steps too)."""
+        for place, _, probs in cross_probs:
+            probs = np.asarray(probs)
+            q = probs.shape[-2]
+            if q > self.max_size ** 2:
+                continue
+            key = f'{place}_cross'
+            self.step_store.setdefault(key, []).append(probs)
+        if not self.attention_store:
+            self.attention_store = self.step_store
+        else:
+            for key, maps in self.step_store.items():
+                for i, m in enumerate(maps):
+                    self.attention_store[key][i] = \
+                        self.attention_store[key][i] + m
+        self.step_store = {}
+        self.cur_step += num_steps
+
     def get_average_attention(self) -> Dict[str, List[np.ndarray]]:
         steps = max(self.cur_step, 1)
         return {k: [m / steps for m in maps]

@@ -21,6 +21,7 @@ from mixofshow_tpu.convert.delta_io import load_edlora_delta
 from mixofshow_tpu.convert.diffusers_import import convert_edlora_delta
 from mixofshow_tpu.data import PromptDataset
 from mixofshow_tpu.diffusion import DPMSolverMultistep
+from mixofshow_tpu.parallel import make_mesh
 from mixofshow_tpu.pipelines import EDLoRAPipeline, init_concepts
 from mixofshow_tpu.pipelines.validation import visual_validation
 from mixofshow_tpu.utils.logging_utils import set_path_logger
@@ -50,6 +51,10 @@ def test(args):
         axis=0)
 
     val_dataset = PromptDataset(opt['datasets']['val_vis'])
+    # shard validation batches across every available chip (the reference
+    # distributes this via accelerate processes, test_edlora.py:24-57)
+    mesh = make_mesh()
+    mesh = mesh if mesh.shape['data'] > 1 else None
     for alpha in opt['val'].get('alpha_list', [1.0]):
         logger.info(f'validation at alpha={alpha}')
         pipe = EDLoRAPipeline(
@@ -62,7 +67,7 @@ def test(args):
             concept_embedding=concept_table,
             unet_lora=delta['unet_lora'] or None,
             text_lora=delta['text_lora'] or None,
-            lora_alpha=float(alpha))
+            lora_alpha=float(alpha), mesh=mesh)
         out = visual_validation(pipe, val_dataset, f'Alpha-{alpha}', opt)
         logger.info(f'wrote {out}')
 

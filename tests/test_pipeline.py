@@ -76,6 +76,7 @@ def test_pipeline_guidance_changes_output(pipe):
     assert not np.allclose(a, c, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_lora_alpha_sweep(pipe):
     """Same weights, alpha 0 vs 1 with nonzero LoRA — outputs must differ at
     alpha 1 and match base at alpha 0 (test_edlora.py:89-94 semantics)."""
@@ -95,6 +96,7 @@ def test_pipeline_lora_alpha_sweep(pipe):
     assert not np.allclose(base, a1, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_mesh_sharded_sampling_matches_single(pipe):
     """Batch-sharded sampling over the 8-device mesh == single-device."""
     from mixofshow_tpu.parallel import make_mesh
@@ -108,3 +110,89 @@ def test_mesh_sharded_sampling_matches_single(pipe):
     pipe.mesh = None
     # fp32 reduction-order differences across devices; outputs are O(30)
     np.testing.assert_allclose(single, sharded, rtol=1e-4, atol=1e-3)
+
+
+def test_pipeline_attention_controller(pipe):
+    """set_controller feeds the AttentionStore during sampling with maps
+    whose grouping/shape match the training-capture convention (reference
+    pipeline_edlora.py:107,292-295 + edlora.py:193-218)."""
+    from mixofshow_tpu.models.unet import cross_layer_query_sizes
+    from mixofshow_tpu.utils.ptp import AttentionStore
+
+    store = AttentionStore(training=False, max_size=4)  # tiny UNet: res<=4
+    pipe.set_controller(store)
+    try:
+        img = pipe('a photo of <potter1> <potter2>', height=64, width=64,
+                   num_inference_steps=2, seed=0)
+    finally:
+        pipe.set_controller(None)
+    assert np.isfinite(img).all()
+    assert store.cur_step == 2
+    avg = store.get_average_attention()
+    expected = [(p, q) for p, _, q in cross_layer_query_sizes(U, 8, 8)
+                if q <= 16]
+    got = [(place.split('_')[0], m.shape[-2])
+           for place, maps in sorted(avg.items()) for m in maps]
+    assert sorted(got) == sorted(expected)
+    for maps in avg.values():
+        for m in maps:
+            # (2B, heads, Q, 77), probabilities sum to 1 over keys
+            assert m.shape[0] == 2 and m.shape[1] == U.attention_heads
+            assert m.shape[-1] == 77
+            np.testing.assert_allclose(m.sum(-1), 1.0, atol=1e-3)
+
+
+def test_pipeline_callback_and_num_images(pipe):
+    """Reference surface: num_images_per_prompt repeats samples; callback is
+    invoked per step with host latents (pipeline_edlora.py:201-211)."""
+    seen = []
+    img = pipe('a photo of <potter1> <potter2>', height=64, width=64,
+               num_inference_steps=2, seed=0, num_images_per_prompt=2,
+               callback=lambda i, t, lat: seen.append((i, t, lat.shape)))
+    assert img.shape == (2, 64, 64, 3)
+    assert [s[0] for s in seen] == [0, 1]
+    assert all(s[2] == (2, 8, 8, 4) for s in seen)
+
+
+def test_pipeline_prompt_embeds_passthrough(pipe):
+    """prompt_embeds bypasses encoding (reference pipeline_edlora.py:201)."""
+    emb = pipe.encode_prompt('a photo of <potter1> <potter2>', None, True)
+    img_a = pipe(prompt_embeds=emb, height=64, width=64,
+                 num_inference_steps=2, seed=3)
+    img_b = pipe('a photo of <potter1> <potter2>', height=64, width=64,
+                 num_inference_steps=2, seed=3)
+    np.testing.assert_allclose(img_a, img_b, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_distributed_validation_pads_batches(tmp_path):
+    """visual_validation with a mesh: batches pad to the 'data' axis, padding
+    samples are dropped, per-image PNGs land on disk (the reference's
+    multi-process validation split, test_edlora.py:24-57)."""
+    from mixofshow_tpu.data import PromptDataset
+    from mixofshow_tpu.parallel import make_mesh
+    from mixofshow_tpu.pipelines.validation import visual_validation
+
+    tok = CLIPTokenizer()
+    te = init_clip_text(0, C)
+    cfg, table = init_concepts(tok, '<v1> <v2>', None,
+                               np.asarray(te['token_embedding']))
+    mesh = make_mesh()
+    assert mesh.shape['data'] == 8
+    pipe_m = EDLoRAPipeline(
+        init_unet(1, U), te, init_vae(2, V), tokenizer=tok,
+        unet_config=U, text_config=C, vae_config=V,
+        new_concept_cfg=cfg, concept_embedding=table,
+        dtype=jnp.float32, mesh=mesh)
+    ds = PromptDataset({'prompts': ['photo of a <v1> <v2>'],
+                        'num_samples_per_prompt': 3,
+                        'latent_size': [4, 8, 8]})
+    opt = {'val': {'sample': {'num_inference_steps': 2,
+                              'guidance_scale': 7.5},
+                   'compose_visualize': False},
+           'datasets': {'val_vis': {'batch_size_per_gpu': 3}},
+           'path': {'visualization': str(tmp_path)}}
+    visual_validation(pipe_m, ds, 'test', opt)
+    import glob
+    pngs = glob.glob(str(tmp_path / 'test' / '*.png'))
+    assert len(pngs) == 3  # padding discarded, real samples written

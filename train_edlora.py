@@ -57,7 +57,8 @@ def build_trainer(opt, bundle, compute_dtype):
         compute_dtype=compute_dtype)
 
 
-def save_and_validation(opt, trainer, bundle, state, val_dataset, tag, logger):
+def save_and_validation(opt, trainer, bundle, state, val_dataset, tag,
+                        logger, mesh=None):
     lora_type = 'edlora' if opt['models'].get('enable_edlora', True) else 'lora'
     save_path = os.path.join(opt['path']['models'],
                              f'{lora_type}_model-{tag}.pth')
@@ -86,7 +87,9 @@ def save_and_validation(opt, trainer, bundle, state, val_dataset, tag, logger):
             concept_embedding=concept_table,
             unet_lora=state.trainable['unet_lora'] or None,
             text_lora=state.trainable['text_lora'] or None,
-            lora_alpha=float(alpha))
+            lora_alpha=float(alpha),
+            mesh=mesh if mesh is not None and
+            mesh.shape['data'] > 1 else None)
         visual_validation(pipe, val_dataset,
                           f'Iters-{tag}_Alpha-{alpha}', opt)
 
@@ -180,10 +183,10 @@ def train(args):
 
         if global_step % save_freq == 0:
             save_and_validation(opt, trainer, bundle, state, val_dataset,
-                                global_step, logger)
+                                global_step, logger, mesh=mesh)
 
     save_and_validation(opt, trainer, bundle, state, val_dataset, 'latest',
-                        logger)
+                        logger, mesh=mesh)
     logger.info('training done.')
 
 
