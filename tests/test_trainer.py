@@ -72,6 +72,7 @@ def test_trainer_structure(trainer):
     assert trainer.concept_token_ids == list(range(49408, 49440))
 
 
+@pytest.mark.slow
 def test_loss_and_grads(trainer):
     batch = make_batch(trainer)
     (loss, loss_dict), grads = jax.value_and_grad(
@@ -91,6 +92,7 @@ def test_loss_and_grads(trainer):
     assert (row_norms > 0).all()
 
 
+@pytest.mark.slow
 def test_train_step_updates_and_freeze(trainer):
     opt = make_optimizer(FINETUNE, total_steps=10)
     state = trainer.init_state(opt)
@@ -124,6 +126,7 @@ def test_train_step_updates_and_freeze(trainer):
     assert dl > 0
 
 
+@pytest.mark.slow
 def test_data_parallel_step_matches_single(trainer):
     """pjit-sharded batch gives the same update as single-device (DDP
     correctness: mean-of-grads == grad-of-mean under equal shard sizes)."""
@@ -145,6 +148,7 @@ def test_data_parallel_step_matches_single(trainer):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_delta_roundtrip(trainer):
     opt = make_optimizer(FINETUNE, total_steps=10)
     state = trainer.init_state(opt)
@@ -161,6 +165,7 @@ def test_delta_roundtrip(trainer):
         np.asarray(state.trainable['concept_embedding']), atol=1e-7)
 
 
+@pytest.mark.slow
 def test_gradient_accumulation(trainer):
     """k micro-steps with MultiSteps == params only move on the k-th."""
     opt = make_optimizer(FINETUNE, total_steps=10, grad_accum=2)
