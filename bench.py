@@ -10,10 +10,14 @@ CFG -> VAE decode) on SD1.5-sized models in bf16. Weights are random — no SD
 checkpoint ships in this environment — which exercises identical compute.
 
 BENCH_MODE selects the BASELINE.md metric set:
-  sample (default) — 512x512 50-step images/sec/chip
+  sample (default) — 512x512 50-step images/sec/chip (also runs the train
+                     bench in a subprocess and attaches its line)
   train            — ED-LoRA tuning steps/sec (512x512, batch 2, masked loss
                      + attention regularization, the reference's operating
                      point, BASELINE.md)
+  regional         — the reference's regional demo shape: 1024x2048 canvas,
+                     3 region prompts, keypose adapter, 50 steps
+                     (regionally_sample.sh:48-90)
 """
 import json
 import os
@@ -78,17 +82,86 @@ def bench_train():
         state, loss = step(state, bt, jr.PRNGKey(i + 1), frozen)
     jax.block_until_ready(state.trainable)
     sps = n / (time.time() - t0)
-    # reference operating point: 2xA100, batch 2/GPU; no published steps/sec
-    # (SURVEY.md §6) — report vs a 1 step/sec nominal baseline
+    # The reference publishes no steps/sec (SURVEY.md §6). Baseline estimate:
+    # its operating point is 2xA100 DDP at batch 2/GPU with fp16 AMP
+    # (README.md:123); SD1.5 LoRA fine-tuning at 512^2 batch-2 measures
+    # ~2.5 it/s on one A100-80GB in public diffusers benchmarks, so the
+    # per-accelerator ESTIMATE is ~2.5 steps/s — stated as an estimate, not
+    # a reference-published number.
+    est_ref_sps = 2.5
     print(json.dumps({
         'metric': f'ED-LoRA {size}x{size} b{batch} train steps/sec/chip',
         'value': round(sps, 4), 'unit': 'steps/s',
-        'vs_baseline': round(sps / 1.0, 4)}))
+        'vs_baseline': round(sps / est_ref_sps, 4),
+        'baseline_note': 'vs ~2.5 steps/s/A100 estimate (batch 2, fp16); '
+                         'reference publishes no throughput'}))
+
+
+def bench_regional():
+    import jax.numpy as jnp
+    from mixofshow_tpu.models import (CLIPTextConfig, UNetConfig, VAEConfig,
+                                      init_clip_text, init_unet, init_vae)
+    from mixofshow_tpu.models.t2i_adapter import (T2IAdapterConfig,
+                                                  init_t2i_adapter)
+    from mixofshow_tpu.pipelines import (RegionallyT2IAdapterPipeline,
+                                         init_concepts)
+    from mixofshow_tpu.text import CLIPTokenizer
+
+    height = int(os.environ.get('BENCH_HEIGHT', '1024'))
+    width = int(os.environ.get('BENCH_WIDTH', '2048'))
+    steps = int(os.environ.get('BENCH_STEPS', '50'))
+
+    ucfg, ccfg, vcfg = UNetConfig.sd15(), CLIPTextConfig.sd15(), VAEConfig.sd15()
+    tok = CLIPTokenizer()
+    te = init_clip_text(1, ccfg)
+    names = '<potter1> <potter2>+<hermione1> <hermione2>+<thanos1> <thanos2>'
+    cfg, table = init_concepts(tok, names, None,
+                               np.asarray(te['token_embedding']))
+    te = dict(te)
+    te['token_embedding'] = np.concatenate(
+        [np.asarray(te['token_embedding']), table])
+    kcfg = T2IAdapterConfig.keypose()
+    pipe = RegionallyT2IAdapterPipeline(
+        init_unet(0, ucfg), te, init_vae(2, vcfg), tokenizer=tok,
+        unet_config=ucfg, text_config=ccfg, vae_config=vcfg,
+        new_concept_cfg=cfg,
+        keypose_adapter=init_t2i_adapter(3, kcfg), keypose_config=kcfg)
+
+    # 3 near-full-height boxes, the reference demo layout
+    prompt = [(
+        'three people standing in a park, best quality',
+        [('a <potter1> <potter2>, in a jacket', 'low quality',
+          [0.02, 0.05, 0.95, 0.30]),
+         ('a <hermione1> <hermione2>, in a dress', 'low quality',
+          [0.02, 0.35, 0.95, 0.62]),
+         ('a <thanos1> <thanos2>, with armor', 'low quality',
+          [0.02, 0.68, 0.95, 0.97])])]
+    keypose = np.zeros((height, width, 3), np.uint8)
+    img = pipe(prompt, keypose_adapter_input=keypose, height=height,
+               width=width, num_inference_steps=steps, seed=0)
+    assert np.isfinite(img).all()
+    n_runs = int(os.environ.get('BENCH_RUNS', '2'))
+    t0 = time.time()
+    for i in range(n_runs):
+        img = pipe(prompt, keypose_adapter_input=keypose, height=height,
+                   width=width, num_inference_steps=steps, seed=i + 1)
+    dt = (time.time() - t0) / n_runs
+    print(json.dumps({
+        'metric': f'regional {height}x{width} 3-region {steps}-step '
+                  'images/sec/chip',
+        'value': round(1.0 / dt, 4), 'unit': 'img/s',
+        'vs_baseline': round((1.0 / dt) / (2.0 * 512 * 512 /
+                                           (height * width)), 4),
+        'baseline_note': 'vs 2 img/s/chip at 512^2 scaled by pixel count'}))
 
 
 def main():
-    if os.environ.get('BENCH_MODE', 'sample') == 'train':
+    mode = os.environ.get('BENCH_MODE', 'sample')
+    if mode == 'train':
         bench_train()
+        return
+    if mode == 'regional':
+        bench_regional()
         return
     import jax
     from mixofshow_tpu.models import (CLIPTextConfig, UNetConfig, VAEConfig,
@@ -127,12 +200,26 @@ def main():
     dt = (time.time() - t0) / n_runs
     imgs_per_sec = batch / dt
 
-    print(json.dumps({
+    record = {
         'metric': f'{size}x{size} {steps}-step b{batch} images/sec/chip',
         'value': round(imgs_per_sec, 4),
         'unit': 'img/s',
         'vs_baseline': round(imgs_per_sec / 2.0, 4),
-    }))
+    }
+    # capture BOTH BASELINE.md metrics in one driver artifact: run the train
+    # bench in a subprocess (own device memory) and attach its line
+    if os.environ.get('BENCH_SKIP_TRAIN') != '1':
+        import subprocess
+        env = dict(os.environ, BENCH_MODE='train', BENCH_SKIP_TRAIN='1')
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=3600)
+            line = out.stdout.strip().splitlines()[-1]
+            record['train'] = json.loads(line)
+        except Exception as e:  # train bench is best-effort extra signal
+            record['train_error'] = f'{type(e).__name__}: {e}'[:200]
+    print(json.dumps(record))
 
 
 if __name__ == '__main__':

@@ -3,7 +3,7 @@
 config_file="potter+hermione+thanos_chilloutmix"
 
 python gradient_fusion.py \
-    --concept_cfg="datasets/data_cfgs/multi-concept/${config_file}.json" \
+    --concept_cfg="datasets/data_cfgs/multi-concept/real/${config_file}.json" \
     --save_path="experiments/composed_edlora/${config_file}" \
     --pretrained_models="experiments/pretrained_models/chilloutmix" \
     --optimize_textenc_iters=500 \

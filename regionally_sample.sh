@@ -3,7 +3,7 @@
 fused_model="experiments/composed_edlora/potter+hermione+thanos_chilloutmix/combined_model_base"
 expdir="potter+hermione+thanos_chilloutmix"
 
-keypose_condition='datasets/validation_spatial_condition/characters-objects/harry_heminone_scene_pose.png'
+keypose_condition='datasets/validation_spatial_condition/multi-characters/real_pose/potter_hermione_thanos_pose.png'
 keypose_adaptor_weight=1.0
 sketch_condition=''
 sketch_adaptor_weight=1.0

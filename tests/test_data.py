@@ -114,3 +114,50 @@ def test_prompt_dataset(tmp_path):
                                   same_idx[1]['latents'])
     diff = [ex for ex in (ds[i] for i in range(4)) if ex['indices'] == 2]
     assert not np.array_equal(same_idx[0]['latents'], diff[0]['latents'])
+
+
+def test_asset_configs_parse():
+    """Every shipped train/test YAML parses through load_options with the
+    schema train_edlora.py consumes, and its data cfg / prompt files exist
+    (reference asset categories: options/train/EDLoRA/{real,anime}/**,
+    datasets/** — /root/reference/options, /root/reference/datasets)."""
+    import glob
+    import json
+    import os
+
+    from mixofshow_tpu.utils.options import load_options
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    train_ymls = glob.glob(os.path.join(root, 'options/train/EDLoRA/*/*.yml'))
+    test_ymls = glob.glob(os.path.join(root, 'options/test/EDLoRA/*/*.yml'))
+    cats = {p.split(os.sep)[-2] for p in train_ymls}
+    assert {'real', 'anime'} <= cats, f'missing categories: {cats}'
+    assert len(train_ymls) >= 6 and len(test_ymls) >= 6
+    for yml in train_ymls:
+        opt = load_options(yml)
+        ft = opt['models']['finetune_cfg']
+        assert ft['unet']['lora_cfg']['rank'] == 4
+        assert opt['models']['new_concept_token'].count('+') == 1
+        ds = opt['datasets']['train']
+        cfg_path = os.path.join(root, ds['concept_list'])
+        assert os.path.exists(cfg_path), cfg_path
+        with open(cfg_path) as f:
+            concept = json.load(f)
+        assert concept[0]['instance_prompt'] == '<TOK>'
+        prompts = os.path.join(root, opt['datasets']['val_vis']['prompts'])
+        assert os.path.exists(prompts), prompts
+    for yml in test_ymls:
+        opt = load_options(yml)
+        assert 'alpha_list' in opt['val']
+    # fusion cfgs parse and spatial-condition region files exist
+    for fcfg in glob.glob(os.path.join(
+            root, 'datasets/data_cfgs/multi-concept/*/*.json')):
+        with open(fcfg) as f:
+            entries = json.load(f)
+        assert all('concept_name' in e and 'lora_path' in e for e in entries)
+    region_files = glob.glob(os.path.join(
+        root, 'datasets/validation_spatial_condition/multi-characters/*/*.txt'))
+    assert region_files
+    for rf in region_files:
+        txt = open(rf).read()
+        assert "box1='[" in txt and "char1='<" in txt
