@@ -187,16 +187,19 @@ def main():
                           new_concept_cfg=cfg, concept_embedding=table)
 
     prompt = ['a photo of <c1> <c2> on a mountain'] * batch
-    # compile
-    img = pipe(prompt, height=size, width=size, num_inference_steps=steps,
-               seed=0)
-    assert np.isfinite(img).all()
+    # compile; 'pil' is the reference pipeline's default output_type, so the
+    # metric includes decode + uint8 image materialization like a real run
+    imgs = pipe(prompt, height=size, width=size, num_inference_steps=steps,
+                seed=0, output_type='pil')
+    arr = np.asarray(imgs[0])
+    assert arr.shape == (size, size, 3) and arr.std() > 0
 
     n_runs = int(os.environ.get('BENCH_RUNS', '3'))
     t0 = time.time()
     for i in range(n_runs):
-        img = pipe(prompt, height=size, width=size,
-                   num_inference_steps=steps, seed=i + 1)
+        imgs = pipe(prompt, height=size, width=size,
+                    num_inference_steps=steps, seed=i + 1,
+                    output_type='pil')
     dt = (time.time() - t0) / n_runs
     imgs_per_sec = batch / dt
 

@@ -265,7 +265,9 @@ def mh_attention(p, x, context, heads: int, lora=None, alpha=1.0,
 def _geglu_ff(p, x, lora=None, alpha=1.0, return_inner: bool = False):
     h = dense(p['proj'], x, maybe(lora, 'proj'), alpha)
     h, gate = jnp.split(h, 2, axis=-1)
-    inner = h * jax.nn.gelu(gate)
+    # exact (erf) gelu — diffusers GEGLU uses F.gelu's default, not the tanh
+    # approximation jax.nn.gelu defaults to
+    inner = h * jax.nn.gelu(gate, approximate=False)
     out = dense(p['out'], inner, maybe(lora, 'out'), alpha)
     if return_inner:
         return out, inner

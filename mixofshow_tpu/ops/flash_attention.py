@@ -16,8 +16,9 @@ Design (for SD1.x scales: S ≤ 16k, D ∈ {40, 80, 160}):
     (streaming query chunks) and dQ over query blocks (streaming key
     chunks) — recomputing probabilities from the saved LSE, never
     materializing S×S;
-  * head_dim is zero-padded to the 128-lane boundary outside the kernels
-    (zero lanes contribute nothing to q·kᵀ or p·v);
+  * NO head-dim padding: a block whose minor dim equals the array's minor
+    dim satisfies the TPU tiling rule, and at SD1.5's d=40 pre-padding to
+    128 lanes made every K/V stream read 3.2x more HBM bytes (zeros);
   * fp32 softmax statistics and accumulation, bf16 matmul inputs.
 """
 from __future__ import annotations
@@ -43,8 +44,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
     """One (head, q-block): online-softmax over K blocks.
 
     q_ref: (1, BQ, Dp); k_ref/v_ref: (1, S, Dp); o_ref: (1, BQ, Dp);
-    lse_ref: (1, BQ, 128) — log-sum-exp replicated across lanes (TPU block
-    tiling requires a 128-lane minor dim). `kv_len` is the TRUE key count:
+    lse_ref: (1, BQ, 8) — log-sum-exp replicated across a narrow lane
+    tile (the block minor dim equals the array dim, so 8 lanes suffice —
+    128 replicated lanes cost 134 MB of writes per res-64 layer). `kv_len` is the TRUE key count:
     columns past it (zero-padding to the block boundary, e.g. the 77-token
     cross-attention context padded to 128) are masked to -inf."""
     bq = q_ref.shape[1]
@@ -81,7 +83,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
     acc0 = jnp.zeros((bq, dp), jnp.float32)
     m_f, l_f, acc_f = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
     o_ref[0] = (acc_f / l_f).astype(o_ref.dtype)
-    lse_ref[0] = jnp.broadcast_to(m_f + jnp.log(l_f), (bq, 128))
+    lse_ref[0] = jnp.broadcast_to(m_f + jnp.log(l_f),
+                                  (bq, lse_ref.shape[2]))
 
 
 def _pad_to(x, size, axis):
@@ -107,14 +110,16 @@ def _kv_blocking(sk: int, block_k: int):
 def _prep(q, k, v, block_q, block_k):
     b, sq, h, d = q.shape
     sk = k.shape[1]
-    dp = max(128, ((d + 127) // 128) * 128)
+    # NO head-dim padding: a block whose minor dim equals the array's minor
+    # dim satisfies the TPU tiling rule, and at SD1.5's d=40 pre-padding to
+    # 128 lanes made every K/V stream read 3.2x more HBM bytes (zeros)
+    dp = d
     block_q = min(block_q, max(sq, 8))
     sk_p, block_k = _kv_blocking(sk, block_k)
     sq_p = ((sq + block_q - 1) // block_q) * block_q
 
     def to_bh(x, s_pad):
         x = jnp.swapaxes(x, 1, 2).reshape(b * h, x.shape[1], d)
-        x = _pad_to(x, dp, 2)
         return _pad_to(x, s_pad, 1)
 
     return (to_bh(q, sq_p), to_bh(k, sk_p), to_bh(v, sk_p), b, sq, h, d, dp,
@@ -129,7 +134,7 @@ def _fwd_call(q, k, v, block_q, block_k):
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, block_k=bk, scale=scale, kv_len=sk),
         out_shape=(jax.ShapeDtypeStruct((b * h, sq_p, dp), q.dtype),
-                   jax.ShapeDtypeStruct((b * h, sq_p, 128), jnp.float32)),
+                   jax.ShapeDtypeStruct((b * h, sq_p, 8), jnp.float32)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0)),
@@ -137,7 +142,7 @@ def _fwd_call(q, k, v, block_q, block_k):
             pl.BlockSpec((1, sk_p, dp), lambda i, j: (i, 0, 0)),
         ],
         out_specs=(pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0)),
-                   pl.BlockSpec((1, bq, 128), lambda i, j: (i, j, 0))),
+                   pl.BlockSpec((1, bq, 8), lambda i, j: (i, j, 0))),
         interpret=_interpret(),
     )(qf, kf, vf)
     return out, lse, (qf, kf, vf, b, sq, h, d, dp, sq_p, sk, sk_p, bq, bk)
@@ -259,7 +264,7 @@ def _flash_bwd(block_q, block_k, res, g):
     # D_i = rowsum(dout * out) (on padded layout; padded lanes are zero),
     # lane-replicated to match the 128-minor tiling of lse
     dvec = (gf.astype(jnp.float32) * out_p.astype(jnp.float32)).sum(-1)
-    dvec = jnp.broadcast_to(dvec[..., None], (*dvec.shape, 128))
+    dvec = jnp.broadcast_to(dvec[..., None], (*dvec.shape, 8))
 
     grid_k = (b * h, sk_p // bk)
     dk_p, dv_p = pl.pallas_call(
@@ -271,8 +276,8 @@ def _flash_bwd(block_q, block_k, res, g):
         in_specs=[
             pl.BlockSpec((1, sq_p, dp), lambda i, j: (i, 0, 0)),   # q
             pl.BlockSpec((1, sq_p, dp), lambda i, j: (i, 0, 0)),   # dout
-            pl.BlockSpec((1, sq_p, 128), lambda i, j: (i, 0, 0)),  # lse
-            pl.BlockSpec((1, sq_p, 128), lambda i, j: (i, 0, 0)),  # dvec
+            pl.BlockSpec((1, sq_p, 8), lambda i, j: (i, 0, 0)),    # lse
+            pl.BlockSpec((1, sq_p, 8), lambda i, j: (i, 0, 0)),    # dvec
             pl.BlockSpec((1, bk, dp), lambda i, j: (i, j, 0)),     # k blk
             pl.BlockSpec((1, bk, dp), lambda i, j: (i, j, 0)),     # v blk
         ],
@@ -290,8 +295,8 @@ def _flash_bwd(block_q, block_k, res, g):
         in_specs=[
             pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0)),     # q blk
             pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0)),     # dout blk
-            pl.BlockSpec((1, bq, 128), lambda i, j: (i, j, 0)),    # lse blk
-            pl.BlockSpec((1, bq, 128), lambda i, j: (i, j, 0)),    # dvec blk
+            pl.BlockSpec((1, bq, 8), lambda i, j: (i, j, 0)),      # lse blk
+            pl.BlockSpec((1, bq, 8), lambda i, j: (i, j, 0)),      # dvec blk
             pl.BlockSpec((1, sk_p, dp), lambda i, j: (i, 0, 0)),   # k
             pl.BlockSpec((1, sk_p, dp), lambda i, j: (i, 0, 0)),   # v
         ],
@@ -316,5 +321,6 @@ def flash_attention_supported(sq: int, sk: int, d: int) -> bool:
     ~9x faster than a one-block kernel launch (tools/bench_attention.py,
     v5e: 0.10 ms dense vs 0.86 ms kernel at (8,4096,77,8,40)) — the fp32
     logits are only (B,H,Q,77) and XLA fuses the softmax. Flash wins when
-    the logits matrix is the bandwidth problem, i.e. large sk."""
-    return d <= 256 and sq >= 128 and sk >= 1024
+    the logits matrix is the bandwidth problem, i.e. large sk. d up to 512
+    covers the VAE's single-head attention."""
+    return d <= 512 and sq >= 128 and sk >= 1024

@@ -87,7 +87,8 @@ def _sample_loop(unet_params, lora, lora_alpha, prompt_embeds, latents,
              for place, idx, q in capture_sizes}
     n = coeffs.timestep.shape[0]
     (final, _, psum), _ = jax.lax.scan(
-        body, (latents, jnp.zeros_like(latents), psum0), jnp.arange(n))
+        body, (latents, jnp.zeros_like(latents), psum0), jnp.arange(n),
+        unroll=2 if n % 2 == 0 else 1)
     return final, psum
 
 
@@ -117,10 +118,24 @@ def _single_step(unet_params, lora, lora_alpha, prompt_embeds, sample,
     return new_sample, m0, probs
 
 
-@functools.partial(jax.jit, static_argnames=('vcfg',))
-def _decode(vae_params, latents, vcfg: VAEConfig):
+@functools.partial(jax.jit, static_argnames=('vcfg', 'dtype'))
+def _decode(vae_params, latents, vcfg: VAEConfig, dtype=None):
+    # cast INSIDE the jit: an eager astype is a separate dispatch (a full
+    # round trip on remote-device links)
+    if dtype is not None:
+        latents = latents.astype(dtype)
     img = vae_decode(vae_params, latents / vcfg.scaling_factor, vcfg)
     return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=('vcfg', 'dtype'))
+def _decode_uint8(vae_params, latents, vcfg: VAEConfig, dtype=None):
+    """Decode straight to uint8 pixels ON DEVICE — the PIL path ends in
+    uint8 anyway (reference numpy_to_pil), and fetching uint8 moves 4x
+    fewer bytes across the host link."""
+    img = _decode.__wrapped__(vae_params, latents, vcfg,
+                              dtype).astype(jnp.float32)
+    return jnp.round(img * 255.0).astype(jnp.uint8)
 
 
 class EDLoRAPipeline:
@@ -337,11 +352,11 @@ class EDLoRAPipeline:
                 num_inference_steps)
         if output_type == 'latent':
             return np.asarray(final)
-        img = _decode(self.vae_params, final.astype(self.dtype),
-                      self.vae_config)
-        img = np.asarray(img.astype(jnp.float32))
         if output_type == 'pil':
+            pixels = np.asarray(_decode_uint8(
+                self.vae_params, final, self.vae_config, dtype=self.dtype))
             from PIL import Image
-            return [Image.fromarray((x * 255).round().astype(np.uint8))
-                    for x in img]
-        return img
+            return [Image.fromarray(x) for x in pixels]
+        img = _decode(self.vae_params, final, self.vae_config,
+                      dtype=self.dtype)
+        return np.asarray(img).astype(np.float32)

@@ -320,12 +320,13 @@ class RegionallyT2IAdapterPipeline:
 
         if output_type == 'latent':
             return np.asarray(final)
-        img = vae_decode(self.vae_params, (final / self.vae_config.
-                                           scaling_factor).astype(self.dtype),
-                         self.vae_config)
-        img = np.asarray(jnp.clip(img * 0.5 + 0.5, 0, 1).astype(jnp.float32))
+        from mixofshow_tpu.pipelines.pipeline_edlora import (_decode,
+                                                             _decode_uint8)
         if output_type == 'pil':
+            pixels = np.asarray(_decode_uint8(
+                self.vae_params, final, self.vae_config, dtype=self.dtype))
             from PIL import Image
-            return [Image.fromarray((x * 255).round().astype(np.uint8))
-                    for x in img]
-        return img
+            return [Image.fromarray(x) for x in pixels]
+        img = _decode(self.vae_params, final, self.vae_config,
+                      dtype=self.dtype)
+        return np.asarray(img).astype(np.float32)

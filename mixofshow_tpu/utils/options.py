@@ -22,6 +22,18 @@ def set_manual_seed(seed: int):
     np.random.seed(seed)
 
 
+def resolve_compute_dtype(opt):
+    """Map the config's mixed_precision to the TPU compute dtype.
+
+    The reference trains/samples fp16 (8101....yml:3, test_edlora.py:93);
+    on TPU the half-precision format is bfloat16, so 'fp16' maps to bf16
+    deliberately. 'no'/'fp32' keep float32 (the dtype all parity tests run,
+    docs/Parity.md)."""
+    import jax.numpy as jnp
+    mp = str(opt.get('mixed_precision', 'bf16')).lower()
+    return jnp.bfloat16 if mp in ('bf16', 'fp16') else jnp.float32
+
+
 NEGATIVE_PROMPT = ('longbody, lowres, bad anatomy, bad hands, missing fingers,'
                    ' extra digit, fewer digits, cropped, worst quality,'
                    ' low quality')

@@ -161,3 +161,18 @@ def test_asset_configs_parse():
     for rf in region_files:
         txt = open(rf).read()
         assert "box1='[" in txt and "char1='<" in txt
+
+
+def test_mixed_precision_policy():
+    """The reference's fp16 setting maps to bf16 on TPU (documented policy,
+    docs/Parity.md); fp32/no stay float32 — the dtype every parity test
+    runs."""
+    import jax.numpy as jnp
+
+    from mixofshow_tpu.utils.options import resolve_compute_dtype
+
+    assert resolve_compute_dtype({'mixed_precision': 'fp16'}) == jnp.bfloat16
+    assert resolve_compute_dtype({'mixed_precision': 'bf16'}) == jnp.bfloat16
+    assert resolve_compute_dtype({'mixed_precision': 'no'}) == jnp.float32
+    assert resolve_compute_dtype({'mixed_precision': 'fp32'}) == jnp.float32
+    assert resolve_compute_dtype({}) == jnp.bfloat16

@@ -103,8 +103,8 @@ def train(args):
     logger.info(dict2str(opt))
     logger.info(f'devices: {jax.devices()}')
 
-    compute_dtype = (jnp.bfloat16 if opt.get('mixed_precision', 'bf16')
-                     in ('bf16', 'fp16') else jnp.float32)
+    from mixofshow_tpu.utils.options import resolve_compute_dtype
+    compute_dtype = resolve_compute_dtype(opt)
     bundle = load_models(opt['models'].get('pretrained_path'),
                          seed=opt.get('manual_seed', 0))
     trainer = build_trainer(opt, bundle, compute_dtype)
