@@ -249,6 +249,9 @@ def mh_attention(p, x, context, heads: int, lora=None, alpha=1.0,
     to_out layer's input — fusion's capture point)."""
     b, s, c = x.shape
     d = c // heads
+    # (a fused single QKV matmul was tried and measured slightly SLOWER
+    # end-to-end: XLA does not hoist the in-scan weight concat out of the
+    # denoise while-loop, so it re-materialized every step)
     q = dense(p['to_q'], x, maybe(lora, 'to_q'), alpha).reshape(b, s, heads, d)
     k = dense(p['to_k'], context, maybe(lora, 'to_k'), alpha)
     v = dense(p['to_v'], context, maybe(lora, 'to_v'), alpha)

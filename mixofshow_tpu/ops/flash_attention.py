@@ -321,6 +321,11 @@ def flash_attention_supported(sq: int, sk: int, d: int) -> bool:
     ~9x faster than a one-block kernel launch (tools/bench_attention.py,
     v5e: 0.10 ms dense vs 0.86 ms kernel at (8,4096,77,8,40)) — the fp32
     logits are only (B,H,Q,77) and XLA fuses the softmax. Flash wins when
-    the logits matrix is the bandwidth problem, i.e. large sk. d up to 512
-    covers the VAE's single-head attention."""
-    return d <= 512 and sq >= 128 and sk >= 1024
+    the logits matrix is the bandwidth problem, i.e. large sk.
+
+    K/V stay RESIDENT in VMEM per (head, q-block) program, double-buffered:
+    cap sk*d so 2 tensors x 2 buffers x bf16 fit comfortably under the 16MB
+    scoped-vmem limit (the VAE's 4096x512 single-head attention exceeds it
+    and measured-OOM'd at batch 8 — it stays dense)."""
+    return (d <= 512 and sq >= 128 and sk >= 1024
+            and sk * d * 2 * 2 * 2 <= 12 * 1024 * 1024)

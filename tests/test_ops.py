@@ -77,8 +77,8 @@ def test_flash_supported_rules():
     assert flash_attention_supported(32768, 1280, 40)    # unaligned large sk
     assert not flash_attention_supported(4096, 77, 40)   # text keys → dense
     assert not flash_attention_supported(64, 64, 40)     # tiny q → dense
-    assert flash_attention_supported(4096, 4096, 512)   # VAE single head
-    assert not flash_attention_supported(4096, 4096, 640)  # head too wide
+    assert flash_attention_supported(32768, 32768, 40)  # regional canvas
+    assert not flash_attention_supported(4096, 4096, 512)  # VAE: VMEM cap
 
 
 def test_attention_store_average():
