@@ -76,14 +76,18 @@ def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5,
     b, h, w, c = x.shape
     g = num_groups
     x2d = x.reshape(b, h * w, c)
-    # pass 1: spatial sum -> group mean (fp32 accumulation over bf16 input)
+    # ONE spatial pass: sum and sum-of-squares together (XLA multi-output
+    # fusion reads x once), fp32 accumulation over bf16 input. E[x^2]-E[x]^2
+    # cancellation is benign here: accumulators are fp32 and the inputs are
+    # bf16 activations, so the variance keeps far more precision than the
+    # data carries (torch's own GN uses a one-pass Welford in fp32).
+    xf = x2d.astype(jnp.float32)
     s = jnp.sum(x2d, axis=1, dtype=jnp.float32)          # (b, c)
+    s2 = jnp.sum(xf * xf, axis=1, dtype=jnp.float32)     # (b, c)
     mean_g = s.reshape(b, g, c // g).mean(axis=-1) / (h * w)   # (b, g)
+    m2_g = s2.reshape(b, g, c // g).mean(axis=-1) / (h * w)    # (b, g)
     mean_c = jnp.repeat(mean_g, c // g, axis=-1)         # (b, c) fp32
-    # pass 2: spatial sum of centered squares -> group variance
-    cen = x2d.astype(jnp.float32) - mean_c[:, None, :]
-    v = jnp.sum(cen * cen, axis=1, dtype=jnp.float32)    # (b, c)
-    var_g = v.reshape(b, g, c // g).mean(axis=-1) / (h * w)    # (b, g)
+    var_g = jnp.maximum(m2_g - mean_g * mean_g, 0.0)
     rstd_c = jnp.repeat(jax.lax.rsqrt(var_g + eps), c // g, axis=-1)
     # fold affine: out = x * a + bb, a/b computed fp32 on (b, c) only
     a = p['scale'].astype(jnp.float32)[None, :] * rstd_c

@@ -97,8 +97,20 @@ def t2i_adapter_apply(params, x: jnp.ndarray,
 
 # ------------------------------------------------------------------ convert
 def convert_t2i_adapter(sd, cfg: T2IAdapterConfig = T2IAdapterConfig()):
-    """diffusers T2IAdapter state dict → our param tree."""
+    """T2I-Adapter state dict → our param tree.
+
+    Accepts BOTH checkpoint layouts for the 'full_adapter' architecture:
+      * diffusers (`adapter.body.{i}.resnets.{j}.block1…`, the layout the
+        reference downloads from HF — regionally_controlable_sampling.py:62-63);
+      * the original TencentARC/T2I-Adapter `.pth` (flat
+        `body.{k}.block1…` with k = stage·nums_rb + j and `in_conv` on the
+        first block of a channel-changing stage — sk=True/use_conv=False,
+        i.e. the t2iadapter_{keypose,sketch}_sd14v1 releases)."""
     from mixofshow_tpu.convert.diffusers_import import _conv
+
+    if (not any('.resnets.' in k for k in sd)
+            and any(k.startswith('body.') and '.block1.' in k for k in sd)):
+        sd = _original_to_diffusers_layout(sd, cfg)
 
     pre = 'adapter.' if any(k.startswith('adapter.') for k in sd) else ''
     params = {'conv_in': _conv(sd, f'{pre}conv_in'), 'body': []}
@@ -115,6 +127,33 @@ def convert_t2i_adapter(sd, cfg: T2IAdapterConfig = T2IAdapterConfig()):
             j += 1
         params['body'].append(block)
     return params
+
+
+def _original_to_diffusers_layout(sd, cfg: T2IAdapterConfig):
+    """Rename original TencentARC flat keys to the diffusers layout so one
+    mapper handles both. Rejects sk=False checkpoints (they carry `skep`
+    convs — a residual path the full_adapter architecture doesn't have)."""
+    if any('.skep.' in k for k in sd):
+        raise ValueError(
+            'original T2I-Adapter checkpoint with sk=False (skep convs) is '
+            'not the full_adapter architecture the reference uses')
+    flat = sorted({int(k.split('.')[1]) for k in sd
+                   if k.startswith('body.')})
+    nums_rb = (len(flat) // len(cfg.channels)) or 1
+    out = {}
+    for k, v in sd.items():
+        if not k.startswith('body.'):
+            out[k] = v
+            continue
+        parts = k.split('.')
+        idx = int(parts[1])
+        i, j = idx // nums_rb, idx % nums_rb
+        rest = '.'.join(parts[2:])
+        if rest.startswith('in_conv.'):
+            out[f'body.{i}.{rest}'] = v
+        else:
+            out[f'body.{i}.resnets.{j}.{rest}'] = v
+    return out
 
 
 def preprocess_adapter_image(image, height: int, width: int) -> np.ndarray:

@@ -58,7 +58,8 @@ def _box_mask(box, h: int, w: int, dtype=jnp.float32):
     return m.astype(dtype)
 
 
-def make_region_override(region_list, heads: int):
+def make_region_override(region_list, heads: int,
+                         use_kernel: Optional[bool] = None):
     """Build the cross-attention override implementing region_rewrite:
     compute global attention PRE-projection, rewrite box interiors with
     per-region attention on pre-projection tokens, then apply to_out once —
@@ -66,7 +67,20 @@ def make_region_override(region_list, heads: int):
 
     region_list: sequence of (embeds (B, 16, 77, C), box (4,)) — embeds
     already CFG-concatenated to match the UNet batch; boxes are TRACED, so
-    one compiled program serves every layout with the same region count."""
+    one compiled program serves every layout with the same region count.
+
+    Two equivalent compute paths (attention is row-independent, so both
+    reproduce the reference's sliced-box math exactly):
+      * Pallas region kernel (TPU default): spatially tiled; each tile
+        attends to the global context plus ONLY the regions overlapping it
+        (`ops/region_attention.py`) — minimal work, like the reference's
+        row slicing, with no recompilation across layouts;
+      * XLA fallback (CPU / `use_kernel=False`): full-grid attention per
+        region, blended by the box mask.
+    """
+    from mixofshow_tpu.ops.region_attention import (
+        boxes_to_grid, region_attention_supported, region_cross_attention)
+
     def override(p, x, ctx, layer_idx, place, hw, lora, alpha):
         h, w = hw
         b, n, c = x.shape
@@ -78,6 +92,31 @@ def make_region_override(region_list, heads: int):
         v = dense(p['to_v'], ctx, maybe(lora, 'to_v'), alpha)
         k = k.reshape(b, -1, heads, d)
         v = v.reshape(b, -1, heads, d)
+        kv_len = k.shape[1]
+
+        kernel_ok = (bool(region_list) and region_attention_supported(
+            heads, d, kv_len, len(region_list)))
+        on_kernel = (kernel_ok if use_kernel is None and
+                     jax.default_backend() == 'tpu'
+                     else bool(use_kernel) and kernel_ok)
+
+        if region_list and on_kernel:
+            rks, rvs = [], []
+            for embeds, box in region_list:
+                rctx = embeds[:, layer_idx] if embeds.ndim == 4 else embeds
+                rctx = rctx.astype(x.dtype)
+                rks.append(dense(p['to_k'], rctx, maybe(lora, 'to_k'),
+                                 alpha).reshape(b, -1, heads, d))
+                rvs.append(dense(p['to_v'], rctx, maybe(lora, 'to_v'),
+                                 alpha).reshape(b, -1, heads, d))
+            boxes = jnp.stack([jnp.asarray(box, jnp.float32)
+                               for _, box in region_list])
+            out = region_cross_attention(
+                q, k, v, jnp.stack(rks), jnp.stack(rvs),
+                boxes_to_grid(boxes, h, w), (h, w), kv_len)
+            tokens = out.reshape(b, n, c)
+            return dense(p['to_out'], tokens, maybe(lora, 'to_out'), alpha)
+
         g_out, _ = sdpa(q, k, v)
         g_grid = g_out.reshape(b, h, w, c)
 

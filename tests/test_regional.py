@@ -133,3 +133,90 @@ def test_region_layouts_share_compiled_program(pipe):
          latents=lat, output_type='latent')
     after = _regional_sample_loop._cache_size()
     assert after == mid  # second layout hit the cache
+
+
+def test_region_kernel_matches_xla_fallback():
+    """The Pallas region kernel (interpret mode on CPU) must reproduce the
+    XLA full-grid+mask path exactly up to bf16 matmul rounding — attention
+    is row-independent, so both equal the reference's sliced-box rewrite."""
+    from mixofshow_tpu.pipelines.pipeline_regional import make_region_override
+    rng = np.random.default_rng(0)
+    heads, d, sk = 2, 16, 77
+    c = heads * d
+    h = w = 16
+    b, n = 2, h * w
+
+    def lin(cin, cout, bias=False):
+        p = {'kernel': rng.normal(0, 0.05, (cin, cout)).astype(np.float32)}
+        if bias:
+            p['bias'] = rng.normal(0, 0.05, (cout,)).astype(np.float32)
+        return p
+
+    p = {'to_q': lin(c, c), 'to_k': lin(c, c), 'to_v': lin(c, c),
+         'to_out': lin(c, c, bias=True)}
+    x = jnp.asarray(rng.normal(0, 1, (b, n, c)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(0, 1, (b, sk, c)), jnp.float32)
+    regions = [
+        (jnp.asarray(rng.normal(0, 1, (b, sk, c)), jnp.float32),
+         jnp.asarray([0.0, 0.0, 1.0, 0.5], jnp.float32)),
+        (jnp.asarray(rng.normal(0, 1, (b, sk, c)), jnp.float32),
+         jnp.asarray([0.25, 0.25, 0.875, 1.0], jnp.float32)),
+    ]
+    o_kernel = make_region_override(regions, heads, use_kernel=True)(
+        p, x, ctx, 0, 'down', (h, w), None, 1.0)
+    o_xla = make_region_override(regions, heads, use_kernel=False)(
+        p, x, ctx, 0, 'down', (h, w), None, 1.0)
+    np.testing.assert_allclose(np.asarray(o_kernel), np.asarray(o_xla),
+                               atol=0.05, rtol=0.05)
+    assert not np.allclose(np.asarray(o_kernel), 0.0)
+
+
+def test_convert_t2i_adapter_original_pth_layout():
+    """The original TencentARC flat `.pth` layout (body.{k}.block1…) must
+    convert identically to the equivalent diffusers layout
+    (adapter.body.{i}.resnets.{j}…)."""
+    from mixofshow_tpu.models.t2i_adapter import convert_t2i_adapter
+    cfg = T2IAdapterConfig.tiny()  # channels (32,64,128,128), 1 res block
+    rng = np.random.default_rng(7)
+    r2 = cfg.downscale_factor ** 2
+
+    def w(cout, cin, k):
+        return rng.normal(0, 0.02, (cout, cin, k, k)).astype(np.float32)
+
+    orig, diff = {}, {}
+    orig['conv_in.weight'] = diff['adapter.conv_in.weight'] = \
+        w(cfg.channels[0], cfg.in_channels * r2, 3)
+    orig['conv_in.bias'] = diff['adapter.conv_in.bias'] = \
+        rng.normal(size=cfg.channels[0]).astype(np.float32)
+    cin = cfg.channels[0]
+    for i, cout in enumerate(cfg.channels):
+        k = i * cfg.num_res_blocks
+        if cin != cout:
+            orig[f'body.{k}.in_conv.weight'] = \
+                diff[f'adapter.body.{i}.in_conv.weight'] = w(cout, cin, 1)
+            orig[f'body.{k}.in_conv.bias'] = \
+                diff[f'adapter.body.{i}.in_conv.bias'] = \
+                rng.normal(size=cout).astype(np.float32)
+        for j in range(cfg.num_res_blocks):
+            for name, ksz in (('block1', 3), ('block2', 1)):
+                orig[f'body.{k + j}.{name}.weight'] = \
+                    diff[f'adapter.body.{i}.resnets.{j}.{name}.weight'] = \
+                    w(cout, cout, ksz)
+                orig[f'body.{k + j}.{name}.bias'] = \
+                    diff[f'adapter.body.{i}.resnets.{j}.{name}.bias'] = \
+                    rng.normal(size=cout).astype(np.float32)
+        cin = cout
+
+    p_orig = convert_t2i_adapter(orig, cfg)
+    p_diff = convert_t2i_adapter(diff, cfg)
+    jax.tree.map(np.testing.assert_array_equal, p_orig, p_diff)
+
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, cfg.in_channels)),
+                    jnp.float32)
+    feats = t2i_adapter_apply(p_orig, x, cfg)
+    assert [f.shape for f in feats] == [
+        (1, 8, 8, 32), (1, 4, 4, 64), (1, 2, 2, 128), (1, 1, 1, 128)]
+
+    with pytest.raises(ValueError):
+        convert_t2i_adapter({'body.0.skep.weight': w(32, 32, 1),
+                             'body.0.block1.weight': w(32, 32, 3)}, cfg)
