@@ -167,6 +167,17 @@ def as_rng(seed) -> np.random.Generator:
     return np.random.default_rng([int(x) for x in np.asarray(seed).ravel()])
 
 
+def _uniform_f32(rng: np.random.Generator, bound: float, shape, dtype):
+    """U[-bound, bound] generated NATIVELY in float32. `rng.uniform` always
+    generates float64; on this host's slow single core that costs minutes
+    for SD1.5-size trees (~1B params) — native f32 generation measures ~3x
+    faster and halves peak memory."""
+    x = rng.random(shape, dtype=np.float32)
+    x *= 2.0 * bound
+    x -= bound
+    return x if dtype == np.float32 else x.astype(dtype)
+
+
 def init_dense(rng, in_dim: int, out_dim: int, bias: bool = True,
                dtype=jnp.float32):
     """torch nn.Linear default init (kaiming uniform a=sqrt(5) ~ U[-1/sqrt(in), +])."""
@@ -175,10 +186,9 @@ def init_dense(rng, in_dim: int, out_dim: int, bias: bool = True,
     # host numpy — device placement happens in one batched transfer at the
     # first jit call (eager per-leaf transfers are pathological on
     # remote-device setups: ~700 round trips for the SD1.5 UNet)
-    p = {'kernel': rng.uniform(-bound, bound,
-                               (in_dim, out_dim)).astype(dtype)}
+    p = {'kernel': _uniform_f32(rng, bound, (in_dim, out_dim), dtype)}
     if bias:
-        p['bias'] = rng.uniform(-bound, bound, (out_dim,)).astype(dtype)
+        p['bias'] = _uniform_f32(rng, bound, (out_dim,), dtype)
     return p
 
 
@@ -187,10 +197,10 @@ def init_conv2d(rng, kh: int, kw: int, in_dim: int, out_dim: int,
     rng = as_rng(rng)
     fan_in = kh * kw * in_dim
     bound = 1.0 / math.sqrt(fan_in)
-    p = {'kernel': rng.uniform(-bound, bound,
-                               (kh, kw, in_dim, out_dim)).astype(dtype)}
+    p = {'kernel': _uniform_f32(rng, bound, (kh, kw, in_dim, out_dim),
+                                dtype)}
     if bias:
-        p['bias'] = rng.uniform(-bound, bound, (out_dim,)).astype(dtype)
+        p['bias'] = _uniform_f32(rng, bound, (out_dim,), dtype)
     return p
 
 
@@ -201,7 +211,9 @@ def init_norm(dim: int, dtype=jnp.float32):
 def init_embedding(rng, num: int, dim: int, scale: float = 0.02,
                    dtype=jnp.float32):
     rng = as_rng(rng)
-    return rng.normal(0.0, scale, (num, dim)).astype(dtype)
+    x = rng.standard_normal((num, dim), dtype=np.float32)
+    x *= scale
+    return x if dtype == np.float32 else x.astype(dtype)
 
 
 # ------------------------------------------------------------------- helpers
