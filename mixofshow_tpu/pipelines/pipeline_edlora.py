@@ -63,12 +63,18 @@ def _sample_loop(unet_params, lora, lora_alpha, prompt_embeds, latents,
     def body(carry, i):
         sample, m_prev, psum = carry
         latent_in = jnp.concatenate([sample, sample]) if use_cfg else sample
+        # the scan carries fp32 latents (solver accuracy) but the UNet must
+        # run in the COMPUTE dtype — unet_apply keys its internal dtype off
+        # the sample, and an fp32 UNet eval measures 3.4x slower than bf16
+        # on v5e (75.4 vs 22.3 ms at CFG-b8)
+        latent_in = latent_in.astype(prompt_embeds.dtype)
         t = coeffs.timestep[i]
         eps, aux = unet_apply(unet_params, latent_in,
                               jnp.broadcast_to(t, (latent_in.shape[0],)),
                               prompt_embeds, ucfg, lora=lora,
                               lora_alpha=lora_alpha,
                               return_cross_probs=bool(capture))
+        eps = eps.astype(jnp.float32)
         if capture:
             for place, idx, probs in aux['cross_probs']:
                 if (place, idx) in psum:
@@ -102,12 +108,14 @@ def _single_step(unet_params, lora, lora_alpha, prompt_embeds, sample,
     reference's Python loop, pipeline_edlora.py:271-295)."""
     capture = {(place, idx) for place, idx, _ in capture_sizes}
     latent_in = jnp.concatenate([sample, sample]) if use_cfg else sample
+    latent_in = latent_in.astype(prompt_embeds.dtype)  # bf16 UNet, fp32 solver
     t = coeffs.timestep[i]
     eps, aux = unet_apply(unet_params, latent_in,
                           jnp.broadcast_to(t, (latent_in.shape[0],)),
                           prompt_embeds, ucfg, lora=lora,
                           lora_alpha=lora_alpha,
                           return_cross_probs=bool(capture))
+    eps = eps.astype(jnp.float32)
     probs = {(place, idx): p.astype(jnp.float32)
              for place, idx, p in aux.get('cross_probs', [])
              if (place, idx) in capture}

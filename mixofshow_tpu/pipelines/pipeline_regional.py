@@ -180,12 +180,16 @@ def _regional_sample_loop(unet_params, prompt_embeds, region_list,
     def body(carry, i):
         sample, m_prev = carry
         latent_in = jnp.concatenate([sample, sample]) if use_cfg else sample
+        # fp32 carry for the solver, COMPUTE dtype (bf16) for the UNet —
+        # unet_apply keys its internal dtype off the sample dtype
+        latent_in = latent_in.astype(prompt_embeds.dtype)
         t = coeffs.timestep[i]
         eps, _ = unet_apply(unet_params, latent_in,
                             jnp.broadcast_to(t, (latent_in.shape[0],)),
                             prompt_embeds, ucfg,
                             adapter_features=adapter_features,
                             cross_attn_override=override)
+        eps = eps.astype(jnp.float32)
         if use_cfg:
             eps_u, eps_c = jnp.split(eps, 2)
             eps = eps_u + guidance_scale * (eps_c - eps_u)
