@@ -55,7 +55,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
     nk = s_len // block_k
     masked = kv_len < s_len
 
-    q = q_ref[0].astype(jnp.bfloat16)
+    # scale folded into q (O(BQ*D) fp32 mul) instead of the logits
+    # (O(BQ*S) — one full-matrix VPU op saved per key block; the softmax
+    # elementwise chain, not the MXU, bounds this kernel at small d)
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(jnp.bfloat16)
 
     def body(j, carry):
         m_i, l_i, acc = carry  # (BQ,1), (BQ,1), (BQ,Dp) — 2D for TPU layout
@@ -63,7 +66,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
         v_blk = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # (BQ, BK)
+            preferred_element_type=jnp.float32)           # (BQ, BK)
         if masked:
             col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) \
                 + j * block_k
@@ -96,11 +99,19 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-def _kv_blocking(sk: int, block_k: int):
+def _kv_blocking(sk: int, block_k: int, block_q: int = 256):
     """Pad the key length to a 128 multiple and pick the largest block size
     that divides it (so short contexts — cross-attention's 77 tokens — run
-    as one masked block instead of falling back to dense XLA)."""
+    as one masked block instead of falling back to dense XLA).
+
+    When the whole fp32 logit row block (BQ, Sk) fits a 4MB VMEM budget the
+    key dim becomes ONE block: the online-softmax rescale chain degenerates
+    to a single pass and the QK^T/PV dots run at full length (at SD1.5's
+    d=40 the MXU pipeline drain per 512-wide dot dominates — measured
+    ~4.6 ms per res-64 self-attention layer at b8 with 512-blocks)."""
     sk_p = max(128, ((sk + 127) // 128) * 128)
+    if sk_p * block_q * 4 <= 4 * 1024 * 1024:
+        return sk_p, sk_p
     for cand in (block_k, 512, 256, 128):
         if cand <= sk_p and sk_p % cand == 0:
             return sk_p, cand
@@ -115,7 +126,7 @@ def _prep(q, k, v, block_q, block_k):
     # 128 lanes made every K/V stream read 3.2x more HBM bytes (zeros)
     dp = d
     block_q = min(block_q, max(sq, 8))
-    sk_p, block_k = _kv_blocking(sk, block_k)
+    sk_p, block_k = _kv_blocking(sk, block_k, block_q)
     sq_p = ((sq + block_q - 1) // block_q) * block_q
 
     def to_bh(x, s_pad):
@@ -168,13 +179,17 @@ def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, dvec_ref, k_ref, v_ref,
 
     def body(i, carry):
         dk, dv = carry
-        q_i = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.bfloat16)
+        # q pre-scaled (see _fwd_kernel): s is already scaled, and
+        # dot(ds, q_scaled) == scale * dot(ds, q) == dK — no trailing
+        # full-matrix rescale needed
+        q_i = (q_ref[0, pl.ds(i * block_q, block_q), :]
+               .astype(jnp.float32) * scale).astype(jnp.bfloat16)
         do_i = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.bfloat16)
         lse_i = lse_ref[0, pl.ds(i * block_q, block_q), 0:1]   # (BQ, 1)
         d_i = dvec_ref[0, pl.ds(i * block_q, block_q), 0:1]
         s = jax.lax.dot_general(
             q_i, k_blk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale      # (BQ, BK)
+            preferred_element_type=jnp.float32)              # (BQ, BK)
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 1) + col0
         s = jnp.where(col < kv_len, s, NEG_INF)
         p = jnp.exp(s - lse_i)
@@ -187,7 +202,7 @@ def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, dvec_ref, k_ref, v_ref,
         ds = p * (dp_ - d_i)
         dk = dk + jax.lax.dot_general(
             ds.astype(jnp.bfloat16), q_i, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale      # (BK, Dp)
+            preferred_element_type=jnp.float32)              # (BK, Dp)
         return dk, dv
 
     dk0 = jnp.zeros((bk, dp), jnp.float32)
@@ -205,7 +220,7 @@ def _bwd_dq_kernel(q_ref, do_ref, lse_ref, dvec_ref, k_ref, v_ref, dq_ref,
     sk = k_ref.shape[1]
     nk = sk // block_k
 
-    q = q_ref[0].astype(jnp.bfloat16)
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(jnp.bfloat16)
     do = do_ref[0].astype(jnp.bfloat16)
     lse = lse_ref[0, :, 0:1]    # (BQ, 1)
     dvec = dvec_ref[0, :, 0:1]
@@ -215,7 +230,7 @@ def _bwd_dq_kernel(q_ref, do_ref, lse_ref, dvec_ref, k_ref, v_ref, dq_ref,
         v_blk = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) \
             + j * block_k
         s = jnp.where(col < kv_len, s, NEG_INF)
