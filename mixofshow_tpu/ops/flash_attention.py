@@ -8,10 +8,17 @@ these kernels keep everything in VMEM with an online softmax, forward and
 backward.
 
 Design (for SD1.x scales: S ≤ 16k, D ∈ {40, 80, 160}):
-  * forward: grid = (batch*heads, S/BLOCK_Q); each program owns one query
-    block and streams that head's full K/V — which fit VMEM at these sizes
-    (16k × 128 bf16 = 4 MB) — in BLOCK_K chunks with running (max, sum, acc)
-    state; also emits the log-sum-exp rows for the backward;
+  * internal layout is (B, H, S, D) reached by a pure `swapaxes` from the
+    caller's (B, S, H, D) — NO b·h-flattening reshape: transpose+reshape
+    forced XLA to materialize copy ops (~2 ms per SD1.5 UNet eval at b8)
+    while a bare dimension permutation stays a layout assignment;
+  * forward: grid (batch, head, q-block); each program owns one query block
+    and streams that head's full K/V — which fit VMEM at these sizes
+    (16k × 128 bf16 = 4 MB) — in BLOCK_K chunks with running (max, sum,
+    acc) state; when the whole fp32 logit row block fits a 4MB budget the
+    key dim is ONE block (the online softmax degenerates to a single pass;
+    at d=40 the per-512-block MXU pipeline drain otherwise dominates);
+    also emits the log-sum-exp rows for the backward;
   * backward: FlashAttention-2 style two kernels — dK/dV over key blocks
     (streaming query chunks) and dQ over query blocks (streaming key
     chunks) — recomputing probabilities from the saved LSE, never
@@ -19,6 +26,7 @@ Design (for SD1.x scales: S ≤ 16k, D ∈ {40, 80, 160}):
   * NO head-dim padding: a block whose minor dim equals the array's minor
     dim satisfies the TPU tiling rule, and at SD1.5's d=40 pre-padding to
     128 lanes made every K/V stream read 3.2x more HBM bytes (zeros);
+  * softmax scale folded into q (O(S·D) instead of an O(S²) VPU op);
   * fp32 softmax statistics and accumulation, bf16 matmul inputs.
 """
 from __future__ import annotations
@@ -41,29 +49,32 @@ def _interpret() -> bool:
 # ------------------------------------------------------------------ forward
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
                 scale: float, kv_len: int):
-    """One (head, q-block): online-softmax over K blocks.
+    """One (batch, head, q-block): online-softmax over K blocks.
 
-    q_ref: (1, BQ, Dp); k_ref/v_ref: (1, S, Dp); o_ref: (1, BQ, Dp);
-    lse_ref: (1, BQ, 8) — log-sum-exp replicated across a narrow lane
+    q_ref: (1, 1, BQ, D); k_ref/v_ref: (1, 1, S, D); o_ref: (1, 1, BQ, D);
+    lse_ref: (1, 1, BQ, 8) — log-sum-exp replicated across a narrow lane
     tile (the block minor dim equals the array dim, so 8 lanes suffice —
-    128 replicated lanes cost 134 MB of writes per res-64 layer). `kv_len` is the TRUE key count:
-    columns past it (zero-padding to the block boundary, e.g. the 77-token
-    cross-attention context padded to 128) are masked to -inf."""
-    bq = q_ref.shape[1]
-    dp = q_ref.shape[2]
-    s_len = k_ref.shape[1]
+    128 replicated lanes cost 134 MB of writes per res-64 layer). `kv_len`
+    is the TRUE key count: columns past it (zero-padding to the block
+    boundary, e.g. the 77-token cross-attention context padded to 128) are
+    masked to -inf."""
+    bq = q_ref.shape[2]
+    dp = q_ref.shape[3]
+    s_len = k_ref.shape[2]
     nk = s_len // block_k
     masked = kv_len < s_len
 
     # scale folded into q (O(BQ*D) fp32 mul) instead of the logits
     # (O(BQ*S) — one full-matrix VPU op saved per key block; the softmax
     # elementwise chain, not the MXU, bounds this kernel at small d)
-    q = (q_ref[0].astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(jnp.bfloat16)
 
     def body(j, carry):
         m_i, l_i, acc = carry  # (BQ,1), (BQ,1), (BQ,Dp) — 2D for TPU layout
-        k_blk = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.bfloat16)
-        v_blk = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.bfloat16)
+        k_blk = k_ref[0, 0, pl.ds(j * block_k, block_k), :] \
+            .astype(jnp.bfloat16)
+        v_blk = v_ref[0, 0, pl.ds(j * block_k, block_k), :] \
+            .astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)           # (BQ, BK)
@@ -85,9 +96,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc0 = jnp.zeros((bq, dp), jnp.float32)
     m_f, l_f, acc_f = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
-    o_ref[0] = (acc_f / l_f).astype(o_ref.dtype)
-    lse_ref[0] = jnp.broadcast_to(m_f + jnp.log(l_f),
-                                  (bq, lse_ref.shape[2]))
+    o_ref[0, 0] = (acc_f / l_f).astype(o_ref.dtype)
+    lse_ref[0, 0] = jnp.broadcast_to(m_f + jnp.log(l_f),
+                                     (bq, lse_ref.shape[3]))
 
 
 def _pad_to(x, size, axis):
@@ -119,74 +130,73 @@ def _kv_blocking(sk: int, block_k: int, block_q: int = 256):
 
 
 def _prep(q, k, v, block_q, block_k):
+    """(B, S, H, D) → (B, H, S, D) by pure transpose; pad sequence axes."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
-    # NO head-dim padding: a block whose minor dim equals the array's minor
-    # dim satisfies the TPU tiling rule, and at SD1.5's d=40 pre-padding to
-    # 128 lanes made every K/V stream read 3.2x more HBM bytes (zeros)
-    dp = d
     block_q = min(block_q, max(sq, 8))
     sk_p, block_k = _kv_blocking(sk, block_k, block_q)
     sq_p = ((sq + block_q - 1) // block_q) * block_q
 
-    def to_bh(x, s_pad):
-        x = jnp.swapaxes(x, 1, 2).reshape(b * h, x.shape[1], d)
-        return _pad_to(x, s_pad, 1)
+    def to_bhsd(x, s_pad):
+        return _pad_to(jnp.swapaxes(x, 1, 2), s_pad, 2)
 
-    return (to_bh(q, sq_p), to_bh(k, sk_p), to_bh(v, sk_p), b, sq, h, d, dp,
-            sq_p, sk, sk_p, block_q, block_k)
+    return (to_bhsd(q, sq_p), to_bhsd(k, sk_p), to_bhsd(v, sk_p),
+            b, sq, h, d, sq_p, sk, sk_p, block_q, block_k)
 
 
 def _fwd_call(q, k, v, block_q, block_k):
-    (qf, kf, vf, b, sq, h, d, dp, sq_p, sk, sk_p, bq, bk) = _prep(
+    (qf, kf, vf, b, sq, h, d, sq_p, sk, sk_p, bq, bk) = _prep(
         q, k, v, block_q, block_k)
     scale = 1.0 / math.sqrt(d)
-    grid = (b * h, sq_p // bq)
+    grid = (b, h, sq_p // bq)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, block_k=bk, scale=scale, kv_len=sk),
-        out_shape=(jax.ShapeDtypeStruct((b * h, sq_p, dp), q.dtype),
-                   jax.ShapeDtypeStruct((b * h, sq_p, 8), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, sq_p, 8), jnp.float32)),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, sk_p, dp), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, sk_p, dp), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda i, hh, j: (i, hh, j, 0)),
+            pl.BlockSpec((1, 1, sk_p, d), lambda i, hh, j: (i, hh, 0, 0)),
+            pl.BlockSpec((1, 1, sk_p, d), lambda i, hh, j: (i, hh, 0, 0)),
         ],
-        out_specs=(pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0)),
-                   pl.BlockSpec((1, bq, 8), lambda i, j: (i, j, 0))),
+        out_specs=(
+            pl.BlockSpec((1, 1, bq, d), lambda i, hh, j: (i, hh, j, 0)),
+            pl.BlockSpec((1, 1, bq, 8), lambda i, hh, j: (i, hh, j, 0)),
+        ),
         interpret=_interpret(),
     )(qf, kf, vf)
-    return out, lse, (qf, kf, vf, b, sq, h, d, dp, sq_p, sk, sk_p, bq, bk)
+    return out, lse, (b, sq, h, d, sq_p, sk, sk_p, bq, bk)
 
 
 # ----------------------------------------------------------------- backward
 def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, dvec_ref, k_ref, v_ref,
                     dk_ref, dv_ref, *, block_q: int, scale: float,
                     kv_len: int):
-    """One (head, k-block): accumulate dK/dV over query chunks.
+    """One (batch, head, k-block): accumulate dK/dV over query chunks.
 
-    q/do: (1, Sq, Dp) full; lse/dvec: (1, Sq, 128) lane-replicated;
-    k/v: (1, BK, Dp). Key columns past `kv_len` (block padding) carry p=0 so
-    their dK/dV stay zero."""
-    sq = q_ref.shape[1]
-    dp = q_ref.shape[2]
-    bk = k_ref.shape[1]
+    q/do: (1, 1, Sq, D) full; lse/dvec: (1, 1, Sq, 8) lane-replicated;
+    k/v: (1, 1, BK, D). Key columns past `kv_len` (block padding) carry p=0
+    so their dK/dV stay zero."""
+    sq = q_ref.shape[2]
+    bk = k_ref.shape[2]
+    dp = q_ref.shape[3]
     nq = sq // block_q
-    col0 = pl.program_id(1) * bk
+    col0 = pl.program_id(2) * bk
 
-    k_blk = k_ref[0].astype(jnp.bfloat16)
-    v_blk = v_ref[0].astype(jnp.bfloat16)
+    k_blk = k_ref[0, 0].astype(jnp.bfloat16)
+    v_blk = v_ref[0, 0].astype(jnp.bfloat16)
 
     def body(i, carry):
         dk, dv = carry
         # q pre-scaled (see _fwd_kernel): s is already scaled, and
         # dot(ds, q_scaled) == scale * dot(ds, q) == dK — no trailing
         # full-matrix rescale needed
-        q_i = (q_ref[0, pl.ds(i * block_q, block_q), :]
+        q_i = (q_ref[0, 0, pl.ds(i * block_q, block_q), :]
                .astype(jnp.float32) * scale).astype(jnp.bfloat16)
-        do_i = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.bfloat16)
-        lse_i = lse_ref[0, pl.ds(i * block_q, block_q), 0:1]   # (BQ, 1)
-        d_i = dvec_ref[0, pl.ds(i * block_q, block_q), 0:1]
+        do_i = do_ref[0, 0, pl.ds(i * block_q, block_q), :] \
+            .astype(jnp.bfloat16)
+        lse_i = lse_ref[0, 0, pl.ds(i * block_q, block_q), 0:1]   # (BQ, 1)
+        d_i = dvec_ref[0, 0, pl.ds(i * block_q, block_q), 0:1]
         s = jax.lax.dot_general(
             q_i, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)              # (BQ, BK)
@@ -208,26 +218,28 @@ def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, dvec_ref, k_ref, v_ref,
     dk0 = jnp.zeros((bk, dp), jnp.float32)
     dv0 = jnp.zeros((bk, dp), jnp.float32)
     dk, dv = jax.lax.fori_loop(0, nq, body, (dk0, dv0))
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
 def _bwd_dq_kernel(q_ref, do_ref, lse_ref, dvec_ref, k_ref, v_ref, dq_ref,
                    *, block_k: int, scale: float, kv_len: int):
-    """One (head, q-block): accumulate dQ over key chunks."""
-    bq = q_ref.shape[1]
-    dp = q_ref.shape[2]
-    sk = k_ref.shape[1]
+    """One (batch, head, q-block): accumulate dQ over key chunks."""
+    bq = q_ref.shape[2]
+    dp = q_ref.shape[3]
+    sk = k_ref.shape[2]
     nk = sk // block_k
 
-    q = (q_ref[0].astype(jnp.float32) * scale).astype(jnp.bfloat16)
-    do = do_ref[0].astype(jnp.bfloat16)
-    lse = lse_ref[0, :, 0:1]    # (BQ, 1)
-    dvec = dvec_ref[0, :, 0:1]
+    q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    do = do_ref[0, 0].astype(jnp.bfloat16)
+    lse = lse_ref[0, 0, :, 0:1]    # (BQ, 1)
+    dvec = dvec_ref[0, 0, :, 0:1]
 
     def body(j, dq):
-        k_blk = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.bfloat16)
-        v_blk = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.bfloat16)
+        k_blk = k_ref[0, 0, pl.ds(j * block_k, block_k), :] \
+            .astype(jnp.bfloat16)
+        v_blk = v_ref[0, 0, pl.ds(j * block_k, block_k), :] \
+            .astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -244,7 +256,7 @@ def _bwd_dq_kernel(q_ref, do_ref, lse_ref, dvec_ref, k_ref, v_ref, dq_ref,
             preferred_element_type=jnp.float32) * scale
 
     dq = jax.lax.fori_loop(0, nk, body, jnp.zeros((bq, dp), jnp.float32))
-    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
 
 
 # ---------------------------------------------------------------- public op
@@ -257,73 +269,72 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     1/sqrt(D) over the TRUE head dim, applied inside. Fully differentiable:
     the VJP runs streaming Pallas backward kernels from the saved LSE."""
     out, _, meta = _fwd_call(q, k, v, block_q, block_k)
-    b, sq, h, d, dp = meta[3], meta[4], meta[5], meta[6], meta[7]
-    out = out[:, :sq, :d].reshape(b, h, sq, d)
-    return jnp.swapaxes(out, 1, 2)
+    sq = meta[1]
+    return jnp.swapaxes(out, 1, 2)[:, :sq]
 
 
 def _flash_fwd(q, k, v, block_q, block_k):
     out, lse, meta = _fwd_call(q, k, v, block_q, block_k)
-    b, sq, h, d, dp = meta[3], meta[4], meta[5], meta[6], meta[7]
-    o = out[:, :sq, :d].reshape(b, h, sq, d)
-    return jnp.swapaxes(o, 1, 2), (q, k, v, out, lse)
+    sq = meta[1]
+    return jnp.swapaxes(out, 1, 2)[:, :sq], (q, k, v, out, lse)
 
 
 def _flash_bwd(block_q, block_k, res, g):
-    q, k, v, out_p, lse = res  # out_p: (BH, Sq_p, Dp) padded; lse: (BH, Sq_p)
-    (qf, kf, vf, b, sq, h, d, dp, sq_p, sk, sk_p, bq, bk) = _prep(
+    q, k, v, out_p, lse = res  # out_p/lse: (B, H, Sq_p, ·) padded
+    (qf, kf, vf, b, sq, h, d, sq_p, sk, sk_p, bq, bk) = _prep(
         q, k, v, block_q, block_k)
     scale = 1.0 / math.sqrt(d)
-    gf = jnp.swapaxes(g, 1, 2).reshape(b * h, sq, d)
-    gf = _pad_to(_pad_to(gf, dp, 2), sq_p, 1)
-    # D_i = rowsum(dout * out) (on padded layout; padded lanes are zero),
-    # lane-replicated to match the 128-minor tiling of lse
-    dvec = (gf.astype(jnp.float32) * out_p.astype(jnp.float32)).sum(-1)
-    dvec = jnp.broadcast_to(dvec[..., None], (*dvec.shape, 8))
+    gf = _pad_to(jnp.swapaxes(g, 1, 2), sq_p, 2)
+    # D_i = rowsum(dout * out), lane-replicated to an 8-wide minor tile
+    dvec = (gf.astype(jnp.float32)
+            * out_p.astype(jnp.float32)).sum(-1, keepdims=True)
+    dvec = jnp.broadcast_to(dvec, (*dvec.shape[:-1], 8))
 
-    grid_k = (b * h, sk_p // bk)
+    grid_k = (b, h, sk_p // bk)
     dk_p, dv_p = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, block_q=bq, scale=scale,
                           kv_len=sk),
-        out_shape=(jax.ShapeDtypeStruct((b * h, sk_p, dp), k.dtype),
-                   jax.ShapeDtypeStruct((b * h, sk_p, dp), v.dtype)),
+        out_shape=(jax.ShapeDtypeStruct((b, h, sk_p, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, sk_p, d), v.dtype)),
         grid=grid_k,
         in_specs=[
-            pl.BlockSpec((1, sq_p, dp), lambda i, j: (i, 0, 0)),   # q
-            pl.BlockSpec((1, sq_p, dp), lambda i, j: (i, 0, 0)),   # dout
-            pl.BlockSpec((1, sq_p, 8), lambda i, j: (i, 0, 0)),    # lse
-            pl.BlockSpec((1, sq_p, 8), lambda i, j: (i, 0, 0)),    # dvec
-            pl.BlockSpec((1, bk, dp), lambda i, j: (i, j, 0)),     # k blk
-            pl.BlockSpec((1, bk, dp), lambda i, j: (i, j, 0)),     # v blk
+            pl.BlockSpec((1, 1, sq_p, d), lambda i, hh, j: (i, hh, 0, 0)),
+            pl.BlockSpec((1, 1, sq_p, d), lambda i, hh, j: (i, hh, 0, 0)),
+            pl.BlockSpec((1, 1, sq_p, 8), lambda i, hh, j: (i, hh, 0, 0)),
+            pl.BlockSpec((1, 1, sq_p, 8), lambda i, hh, j: (i, hh, 0, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda i, hh, j: (i, hh, j, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda i, hh, j: (i, hh, j, 0)),
         ],
-        out_specs=(pl.BlockSpec((1, bk, dp), lambda i, j: (i, j, 0)),
-                   pl.BlockSpec((1, bk, dp), lambda i, j: (i, j, 0))),
+        out_specs=(
+            pl.BlockSpec((1, 1, bk, d), lambda i, hh, j: (i, hh, j, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda i, hh, j: (i, hh, j, 0)),
+        ),
         interpret=_interpret(),
     )(qf, gf, lse, dvec, kf, vf)
 
-    grid_q = (b * h, sq_p // bq)
+    grid_q = (b, h, sq_p // bq)
     dq_p = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, block_k=bk, scale=scale,
                           kv_len=sk),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, dp), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
         grid=grid_q,
         in_specs=[
-            pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0)),     # q blk
-            pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0)),     # dout blk
-            pl.BlockSpec((1, bq, 8), lambda i, j: (i, j, 0)),      # lse blk
-            pl.BlockSpec((1, bq, 8), lambda i, j: (i, j, 0)),      # dvec blk
-            pl.BlockSpec((1, sk_p, dp), lambda i, j: (i, 0, 0)),   # k
-            pl.BlockSpec((1, sk_p, dp), lambda i, j: (i, 0, 0)),   # v
+            pl.BlockSpec((1, 1, bq, d), lambda i, hh, j: (i, hh, j, 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda i, hh, j: (i, hh, j, 0)),
+            pl.BlockSpec((1, 1, bq, 8), lambda i, hh, j: (i, hh, j, 0)),
+            pl.BlockSpec((1, 1, bq, 8), lambda i, hh, j: (i, hh, j, 0)),
+            pl.BlockSpec((1, 1, sk_p, d), lambda i, hh, j: (i, hh, 0, 0)),
+            pl.BlockSpec((1, 1, sk_p, d), lambda i, hh, j: (i, hh, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0)),
+        out_specs=pl.BlockSpec((1, 1, bq, d),
+                               lambda i, hh, j: (i, hh, j, 0)),
         interpret=_interpret(),
     )(qf, gf, lse, dvec, kf, vf)
 
-    def from_bh(x, s):
-        x = x[:, :s, :d].reshape(b, h, s, d)
-        return jnp.swapaxes(x, 1, 2)
+    def back(x, s):
+        return jnp.swapaxes(x, 1, 2)[:, :s]
 
-    return from_bh(dq_p, sq), from_bh(dk_p, sk), from_bh(dv_p, sk)
+    return back(dq_p, sq), back(dk_p, sk), back(dv_p, sk)
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
