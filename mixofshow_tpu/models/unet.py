@@ -257,8 +257,12 @@ def mh_attention(p, x, context, heads: int, lora=None, alpha=1.0,
     v = dense(p['to_v'], context, maybe(lora, 'to_v'), alpha)
     k = k.reshape(b, -1, heads, d)
     v = v.reshape(b, -1, heads, d)
-    out, probs = sdpa(q, k, v, return_probs=return_probs)
-    pre_out = out.reshape(b, s, c)
+
+    # (contracting to_out head-by-head against the kernel's raw (B,H,S,D)
+    # output was tried and measured IDENTICAL — XLA re-fuses the unrolled
+    # dots into the same transposing matmul pattern)
+    out4, probs = sdpa(q, k, v, return_probs=return_probs)
+    pre_out = out4.reshape(b, s, c)
     out = dense(p['to_out'], pre_out, maybe(lora, 'to_out'), alpha)
     if return_pre_out:
         return out, probs, pre_out

@@ -260,31 +260,43 @@ def _bwd_dq_kernel(q_ref, do_ref, lse_ref, dvec_ref, k_ref, v_ref, dq_ref,
 
 
 # ---------------------------------------------------------------- public op
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    block_q: int = 256, block_k: int = 512) -> jnp.ndarray:
+                    block_q: int = 256, block_k: int = 512,
+                    out_layout: str = 'bshd') -> jnp.ndarray:
     """Self/cross attention, (B, S, H, D) layout like layers.sdpa.
 
     No mask support (SD1.x never masks spatial attention). Scale is
     1/sqrt(D) over the TRUE head dim, applied inside. Fully differentiable:
-    the VJP runs streaming Pallas backward kernels from the saved LSE."""
+    the VJP runs streaming Pallas backward kernels from the saved LSE.
+
+    `out_layout='bhsd'` skips the output transpose and returns the kernel's
+    native (B, H, S, D) — for callers that consume the output per head
+    (unet.mh_attention contracts the output projection head-by-head, which
+    keeps every surrounding matmul on contiguous operands)."""
     out, _, meta = _fwd_call(q, k, v, block_q, block_k)
     sq = meta[1]
-    return jnp.swapaxes(out, 1, 2)[:, :sq]
+    out = out[:, :, :sq]
+    return jnp.swapaxes(out, 1, 2) if out_layout == 'bshd' else out
 
 
-def _flash_fwd(q, k, v, block_q, block_k):
+def _flash_fwd(q, k, v, block_q, block_k, out_layout):
     out, lse, meta = _fwd_call(q, k, v, block_q, block_k)
     sq = meta[1]
-    return jnp.swapaxes(out, 1, 2)[:, :sq], (q, k, v, out, lse)
+    o = out[:, :, :sq]
+    if out_layout == 'bshd':
+        o = jnp.swapaxes(o, 1, 2)
+    return o, (q, k, v, out, lse)
 
 
-def _flash_bwd(block_q, block_k, res, g):
+def _flash_bwd(block_q, block_k, out_layout, res, g):
     q, k, v, out_p, lse = res  # out_p/lse: (B, H, Sq_p, ·) padded
     (qf, kf, vf, b, sq, h, d, sq_p, sk, sk_p, bq, bk) = _prep(
         q, k, v, block_q, block_k)
     scale = 1.0 / math.sqrt(d)
-    gf = _pad_to(jnp.swapaxes(g, 1, 2), sq_p, 2)
+    if out_layout == 'bshd':
+        g = jnp.swapaxes(g, 1, 2)
+    gf = _pad_to(g, sq_p, 2)
     # D_i = rowsum(dout * out), lane-replicated to an 8-wide minor tile
     dvec = (gf.astype(jnp.float32)
             * out_p.astype(jnp.float32)).sum(-1, keepdims=True)

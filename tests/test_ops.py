@@ -113,3 +113,15 @@ def test_flash_attention_gradients_match_dense():
     for a, b in zip(gf, gd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2,
                                    rtol=1e-2)
+
+
+def test_flash_bhsd_layout_matches():
+    """out_layout='bhsd' returns the kernel-native permutation of the same
+    values (the per-head to_out contraction path in unet.mh_attention)."""
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 256, 2, 40))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 256, 2, 40))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 256, 2, 40))
+    a = flash_attention(q, k, v, 64, 64)
+    b = flash_attention(q, k, v, 64, 64, out_layout='bhsd')
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(b, 1, 2)),
+                               np.asarray(a), atol=1e-6)
