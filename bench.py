@@ -209,6 +209,10 @@ def main():
         'unit': 'img/s',
         'vs_baseline': round(imgs_per_sec / 2.0, 4),
     }
+    # print the headline line IMMEDIATELY (the driver parses the last line;
+    # if the optional train bench below is killed mid-compile this line is
+    # still on record), then re-print enriched with the train metric
+    print(json.dumps(record), flush=True)
     # capture BOTH BASELINE.md metrics in one driver artifact: run the train
     # bench in a subprocess (own device memory) and attach its line
     if os.environ.get('BENCH_SKIP_TRAIN') != '1':
@@ -217,12 +221,13 @@ def main():
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True, timeout=3600)
+                capture_output=True, text=True,
+                timeout=int(os.environ.get('BENCH_TRAIN_TIMEOUT', '2400')))
             line = out.stdout.strip().splitlines()[-1]
             record['train'] = json.loads(line)
-        except Exception as e:  # train bench is best-effort extra signal
-            record['train_error'] = f'{type(e).__name__}: {e}'[:200]
-    print(json.dumps(record))
+            print(json.dumps(record), flush=True)
+        except Exception:  # train bench is best-effort extra signal
+            pass
 
 
 if __name__ == '__main__':
