@@ -110,7 +110,8 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-def _kv_blocking(sk: int, block_k: int, block_q: int = 256):
+def _kv_blocking(sk: int, block_k: int, block_q: int = 256,
+                 single_block: bool = True):
     """Pad the key length to a 128 multiple and pick the largest block size
     that divides it (so short contexts — cross-attention's 77 tokens — run
     as one masked block instead of falling back to dense XLA).
@@ -119,9 +120,12 @@ def _kv_blocking(sk: int, block_k: int, block_q: int = 256):
     key dim becomes ONE block: the online-softmax rescale chain degenerates
     to a single pass and the QK^T/PV dots run at full length (at SD1.5's
     d=40 the MXU pipeline drain per 512-wide dot dominates — measured
-    ~4.6 ms per res-64 self-attention layer at b8 with 512-blocks)."""
+    ~4.6 ms per res-64 self-attention layer at b8 with 512-blocks).
+    FORWARD ONLY: the backward kernels hold full-sequence q/do/lse/dvec
+    plus accumulators resident, and a 4096-wide block pushed them to
+    21.8M scoped VMEM (>16M limit) — they keep chunked keys."""
     sk_p = max(128, ((sk + 127) // 128) * 128)
-    if sk_p * block_q * 4 <= 4 * 1024 * 1024:
+    if single_block and sk_p * block_q * 4 <= 4 * 1024 * 1024:
         return sk_p, sk_p
     for cand in (block_k, 512, 256, 128):
         if cand <= sk_p and sk_p % cand == 0:
@@ -129,12 +133,12 @@ def _kv_blocking(sk: int, block_k: int, block_q: int = 256):
     return sk_p, 128
 
 
-def _prep(q, k, v, block_q, block_k):
+def _prep(q, k, v, block_q, block_k, single_block: bool = True):
     """(B, S, H, D) → (B, H, S, D) by pure transpose; pad sequence axes."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
     block_q = min(block_q, max(sq, 8))
-    sk_p, block_k = _kv_blocking(sk, block_k, block_q)
+    sk_p, block_k = _kv_blocking(sk, block_k, block_q, single_block)
     sq_p = ((sq + block_q - 1) // block_q) * block_q
 
     def to_bhsd(x, s_pad):
@@ -292,7 +296,7 @@ def _flash_fwd(q, k, v, block_q, block_k, out_layout):
 def _flash_bwd(block_q, block_k, out_layout, res, g):
     q, k, v, out_p, lse = res  # out_p/lse: (B, H, Sq_p, ·) padded
     (qf, kf, vf, b, sq, h, d, sq_p, sk, sk_p, bq, bk) = _prep(
-        q, k, v, block_q, block_k)
+        q, k, v, block_q, block_k, single_block=False)
     scale = 1.0 / math.sqrt(d)
     if out_layout == 'bshd':
         g = jnp.swapaxes(g, 1, 2)
