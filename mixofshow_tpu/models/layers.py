@@ -75,15 +75,20 @@ def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5,
     round-trips. Mean-centered variance (no E[x^2]-E[x]^2 cancellation)."""
     b, h, w, c = x.shape
     g = num_groups
-    x2d = x.reshape(b, h * w, c)
     # ONE spatial pass: sum and sum-of-squares together (XLA multi-output
     # fusion reads x once), fp32 accumulation over bf16 input. E[x^2]-E[x]^2
     # cancellation is benign here: accumulators are fp32 and the inputs are
     # bf16 activations, so the variance keeps far more precision than the
     # data carries (torch's own GN uses a one-pass Welford in fp32).
-    xf = x2d.astype(jnp.float32)
-    s = jnp.sum(x2d, axis=1, dtype=jnp.float32)          # (b, c)
-    s2 = jnp.sum(xf * xf, axis=1, dtype=jnp.float32)     # (b, c)
+    # LAYOUT-AGNOSTIC on purpose: reduce (h, w) in place — no reshape, no
+    # fp32 materialization of x. At VAE-decoder resolutions XLA spatially
+    # tiles the convs (halo buffers like f32[512,32,65,128]); a reshape to
+    # (b, h*w, c) plus an fp32 upcast forced ~25 ms of re-layout copies per
+    # 512^2 b4 decode. The square runs in the input dtype with an fp32
+    # accumulator — bf16 squares carry 2^-9 relative error, below the
+    # noise already in bf16 activations (fp32 inputs keep fp32 squares).
+    s = jnp.sum(x, axis=(1, 2), dtype=jnp.float32)               # (b, c)
+    s2 = jnp.sum(jax.lax.square(x), axis=(1, 2), dtype=jnp.float32)
     mean_g = s.reshape(b, g, c // g).mean(axis=-1) / (h * w)   # (b, g)
     m2_g = s2.reshape(b, g, c // g).mean(axis=-1) / (h * w)    # (b, g)
     mean_c = jnp.repeat(mean_g, c // g, axis=-1)         # (b, c) fp32
