@@ -358,13 +358,59 @@ class EDLoRAPipeline:
                 [(place, idx, np.asarray(m))
                  for (place, idx), m in sorted(psum.items())],
                 num_inference_steps)
+        if output_type.startswith('_defer:'):
+            return self._materialize(final, output_type[7:], fetch=False)
+        return self._materialize(final, output_type, fetch=True)
+
+    def _materialize(self, final, output_type: str, fetch: bool):
+        """Decode latents per output_type. With fetch=False everything stays
+        dispatched on device (async) — `PendingSample.result` fetches."""
         if output_type == 'latent':
-            return np.asarray(final)
+            return np.asarray(final) if fetch else final
         if output_type == 'pil':
-            pixels = np.asarray(_decode_uint8(
-                self.vae_params, final, self.vae_config, dtype=self.dtype))
+            pixels = _decode_uint8(self.vae_params, final, self.vae_config,
+                                   dtype=self.dtype)
+            if not fetch:
+                return pixels
             from PIL import Image
-            return [Image.fromarray(x) for x in pixels]
+            return [Image.fromarray(x) for x in np.asarray(pixels)]
         img = _decode(self.vae_params, final, self.vae_config,
                       dtype=self.dtype)
-        return np.asarray(img).astype(np.float32)
+        return np.asarray(img).astype(np.float32) if fetch else img
+
+    def submit(self, *args, output_type: str = 'pil', **kwargs
+               ) -> 'PendingSample':
+        """Serving-throughput entry point: dispatch the full sampling
+        program (encode → scan denoise → decode) WITHOUT fetching results.
+
+        JAX dispatch is asynchronous, so the host returns as soon as the
+        work is enqueued; calling `submit` for the next batch while the
+        previous `PendingSample.result()` is outstanding overlaps host-side
+        tokenization/PIL/fetch with device compute — the deployment pattern
+        for a sampling service (device-side work stays strictly serial).
+        Not available together with `callback`/controller paths (those are
+        host-synchronous by design)."""
+        assert self.controller is None, 'submit() with a controller is ' \
+            'host-synchronous — use __call__'
+        assert kwargs.get('callback') is None
+        dev = self.__call__(*args, output_type='_defer:' + output_type,
+                            **kwargs)
+        return PendingSample(dev, output_type)
+
+
+class PendingSample:
+    """Handle for a dispatched-but-unfetched sampling batch
+    (`EDLoRAPipeline.submit`). All device work (denoise scan + decode) is
+    already enqueued; `result()` only transfers and wraps."""
+
+    def __init__(self, device_out, output_type: str):
+        self._dev = device_out
+        self._output_type = output_type
+
+    def result(self):
+        if self._output_type == 'pil':
+            from PIL import Image
+            return [Image.fromarray(x) for x in np.asarray(self._dev)]
+        if self._output_type == 'latent':
+            return np.asarray(self._dev)
+        return np.asarray(self._dev).astype(np.float32)

@@ -196,3 +196,19 @@ def test_distributed_validation_pads_batches(tmp_path):
     import glob
     pngs = glob.glob(str(tmp_path / 'test' / '*.png'))
     assert len(pngs) == 3  # padding discarded, real samples written
+
+
+def test_submit_result_matches_call(pipe):
+    """Serving path: submit() dispatches without fetching; result() returns
+    exactly what the synchronous __call__ produces."""
+    lat = np.random.default_rng(13).normal(size=(1, 8, 8, 4)) \
+        .astype(np.float32)
+    kw = dict(height=64, width=64, num_inference_steps=2, latents=lat)
+    sync = pipe('a photo of <potter1> <potter2>', output_type='np', **kw)
+    pending = pipe.submit('a photo of <potter1> <potter2>',
+                          output_type='np', **kw)
+    np.testing.assert_allclose(pending.result(), sync, atol=1e-6)
+    # pil variant returns PIL images of the right size
+    imgs = pipe.submit('a photo of <potter1> <potter2>',
+                       output_type='pil', **kw).result()
+    assert len(imgs) == 1 and imgs[0].size == (64, 64)
