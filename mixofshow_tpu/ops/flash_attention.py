@@ -167,6 +167,11 @@ def _fwd_call(q, k, v, block_q, block_k):
             pl.BlockSpec((1, 1, bq, d), lambda i, hh, j: (i, hh, j, 0)),
             pl.BlockSpec((1, 1, bq, 8), lambda i, hh, j: (i, hh, j, 0)),
         ),
+        # long-context shapes (regional 1024x2048 demo: S=32k) keep that
+        # head's K/V resident + double-buffered; the default 16MB scoped
+        # budget rejects them even though v5e VMEM comfortably fits
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(qf, kf, vf)
     return out, lse, (b, sq, h, d, sq_p, sk, sk_p, bq, bk)
