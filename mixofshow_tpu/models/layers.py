@@ -72,7 +72,8 @@ def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5,
     SD1.5 sampling path). The normalization itself is applied in the
     activation dtype via folded per-channel scale/bias — only the O(B*C)
     statistics run fp32, so HBM traffic is 3 bf16 passes instead of fp32
-    round-trips. Mean-centered variance (no E[x^2]-E[x]^2 cancellation)."""
+    round-trips. Variance uses the one-pass E[x^2]-E[x]^2 form with fp32
+    accumulators and a maximum(.,0) clamp — see the cancellation note below."""
     b, h, w, c = x.shape
     g = num_groups
     # ONE spatial pass: sum and sum-of-squares together (XLA multi-output

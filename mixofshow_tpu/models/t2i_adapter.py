@@ -82,10 +82,20 @@ def t2i_adapter_apply(params, x: jnp.ndarray,
     feats = []
     for i, block in enumerate(params['body']):
         if i > 0:
-            # AvgPool2d(2, ceil_mode) between stages
-            h = jax.lax.reduce_window(
-                h, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
-                'SAME') / 4.0
+            # AvgPool2d(2, ceil_mode=True) between stages. torch divides a
+            # partial edge window (odd H/W) by its TRUE element count, not
+            # the window size — match with a counting pass (constant-folded;
+            # even sizes take the cheap /4).
+            hh, ww = h.shape[1], h.shape[2]
+            s = jax.lax.reduce_window(
+                h, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), 'SAME')
+            if hh % 2 or ww % 2:
+                cnt = jax.lax.reduce_window(
+                    jnp.ones((1, hh, ww, 1), h.dtype), 0.0, jax.lax.add,
+                    (1, 2, 2, 1), (1, 2, 2, 1), 'SAME')
+                h = s / cnt
+            else:
+                h = s / 4.0
         if 'in_conv' in block:
             h = conv2d(block['in_conv'], h)
         for res in block['resnets']:
@@ -137,6 +147,13 @@ def _original_to_diffusers_layout(sd, cfg: T2IAdapterConfig):
         raise ValueError(
             'original T2I-Adapter checkpoint with sk=False (skep convs) is '
             'not the full_adapter architecture the reference uses')
+    if any('.down_opt.' in k for k in sd):
+        # use_conv=True originals downsample with a learned conv; the
+        # avgpool-only full_adapter architecture cannot represent it, and
+        # silently dropping the conv would produce wrong outputs.
+        raise ValueError(
+            'original T2I-Adapter checkpoint with use_conv=True (down_opt '
+            'convs) is not the avgpool full_adapter architecture')
     flat = sorted({int(k.split('.')[1]) for k in sd
                    if k.startswith('body.')})
     nums_rb = (len(flat) // len(cfg.channels)) or 1
