@@ -42,11 +42,12 @@ def _interpret() -> bool:
     return jax.default_backend() != 'tpu'
 
 
-def _attend(q, k_ref, v_ref, *, scale: float, kv_len: int):
-    """Single-block attention: q (N, D) bf16 vs one K/V block (Sk_p, D).
-    fp32 logits/softmax, bf16 PV matmul; returns (N, D) fp32."""
-    k = k_ref[0].astype(jnp.bfloat16)
-    v = v_ref[0].astype(jnp.bfloat16)
+def _attend(q, k_ref, v_ref, *, scale: float, kv_len: int,
+            mm_dtype=jnp.bfloat16):
+    """Single-block attention: q (N, D) vs one K/V block (Sk_p, D).
+    fp32 logits/softmax, `mm_dtype` matmul inputs; returns (N, D) fp32."""
+    k = k_ref[0].astype(mm_dtype)
+    v = v_ref[0].astype(mm_dtype)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     n, sk = s.shape
@@ -55,14 +56,15 @@ def _attend(q, k_ref, v_ref, *, scale: float, kv_len: int):
     m = s.max(axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = p.sum(axis=-1, keepdims=True)
-    pv = jax.lax.dot_general(p.astype(jnp.bfloat16), v,
+    pv = jax.lax.dot_general(p.astype(mm_dtype), v,
                              (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     return pv / l
 
 
 def _kernel(boxes_ref, q_ref, gk_ref, gv_ref, *rest, scale: float,
-            kv_len: int, n_regions: int, th: int, tw: int):
+            kv_len: int, n_regions: int, th: int, tw: int,
+            mm_dtype=jnp.bfloat16):
     """One (batch*head, tile_row, tile_col) program.
 
     boxes_ref: (R, 4) int32 SMEM — (sh, sw, eh, ew) pixel bounds at this
@@ -78,8 +80,9 @@ def _kernel(boxes_ref, q_ref, gk_ref, gv_ref, *rest, scale: float,
     r0 = pl.program_id(1) * th
     c0 = pl.program_id(2) * tw
 
-    q = q_ref[0].reshape(th * tw, d).astype(jnp.bfloat16)
-    out_g = _attend(q, gk_ref, gv_ref, scale=scale, kv_len=kv_len)
+    q = q_ref[0].reshape(th * tw, d).astype(mm_dtype)
+    out_g = _attend(q, gk_ref, gv_ref, scale=scale, kv_len=kv_len,
+                    mm_dtype=mm_dtype)
 
     # per-token pixel coords in LINEAR (th*tw, 1) layout — a (th, tw) mask
     # reshaped to (th*tw, 1) would change the lane dim, which Mosaic's
@@ -100,7 +103,7 @@ def _kernel(boxes_ref, q_ref, gk_ref, gv_ref, *rest, scale: float,
         @pl.when(overlaps)
         def _():
             out_r = _attend(q, region_kv[2 * r], region_kv[2 * r + 1],
-                            scale=scale, kv_len=kv_len)
+                            scale=scale, kv_len=kv_len, mm_dtype=mm_dtype)
             m = ((rows >= sh) & (rows < eh)
                  & (cols >= sw) & (cols < ew))
             mf = m.astype(jnp.float32)          # (th*tw, 1)
@@ -128,13 +131,16 @@ def _tile_sizes(h: int, w: int):
     return th, tw
 
 
-def region_cross_attention(q, g_k, g_v, r_k, r_v, boxes_px, hw, kv_len: int):
+def region_cross_attention(q, g_k, g_v, r_k, r_v, boxes_px, hw, kv_len: int,
+                           precise: bool = False):
     """Regional cross-attention, minimal-work Pallas path.
 
     q: (B, N, H, D) with N = h*w; g_k/g_v: (B, Sk, H, D) global-context
     keys/values; r_k/r_v: (R, B, Sk, H, D) per-region keys/values;
     boxes_px: (R, 4) int32 TRACED pixel bounds (sh, sw, eh, ew) at grid
     scale hw=(h, w); kv_len: true key count (Sk may already be padded).
+    `precise` keeps matmul inputs in the input dtype (fp32 parity runs);
+    the default casts to bf16 like ops/flash_attention.py.
     Returns (B, N, H, D): global attention everywhere, box interiors
     replaced by the overlap-counted blend of region attention (reference
     pipeline_regionally_t2iadapter.py:32-86)."""
@@ -166,7 +172,8 @@ def region_cross_attention(q, g_k, g_v, r_k, r_v, boxes_px, hw, kv_len: int):
     grid = (b * heads, hp // th, wp // tw)
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale, kv_len=kv_len,
-                          n_regions=nr, th=th, tw=tw),
+                          n_regions=nr, th=th, tw=tw,
+                          mm_dtype=q.dtype if precise else jnp.bfloat16),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,

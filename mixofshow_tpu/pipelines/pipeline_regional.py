@@ -59,7 +59,8 @@ def _box_mask(box, h: int, w: int, dtype=jnp.float32):
 
 
 def make_region_override(region_list, heads: int,
-                         use_kernel: Optional[bool] = None):
+                         use_kernel: Optional[bool] = None,
+                         precise: bool = False):
     """Build the cross-attention override implementing region_rewrite:
     compute global attention PRE-projection, rewrite box interiors with
     per-region attention on pre-projection tokens, then apply to_out once —
@@ -113,7 +114,8 @@ def make_region_override(region_list, heads: int,
                                for _, box in region_list])
             out = region_cross_attention(
                 q, k, v, jnp.stack(rks), jnp.stack(rvs),
-                boxes_to_grid(boxes, h, w), (h, w), kv_len)
+                boxes_to_grid(boxes, h, w), (h, w), kv_len,
+                precise=precise)
             tokens = out.reshape(b, n, c)
             return dense(p['to_out'], tokens, maybe(lora, 'to_out'), alpha)
 

@@ -162,9 +162,16 @@ def test_region_kernel_matches_xla_fallback():
         (jnp.asarray(rng.normal(0, 1, (b, sk, c)), jnp.float32),
          jnp.asarray([0.25, 0.25, 0.875, 1.0], jnp.float32)),
     ]
-    o_kernel = make_region_override(regions, heads, use_kernel=True)(
+    # precise mode (fp32 kernel matmuls): tight equivalence
+    o_precise = make_region_override(regions, heads, use_kernel=True,
+                                     precise=True)(
         p, x, ctx, 0, 'down', (h, w), None, 1.0)
     o_xla = make_region_override(regions, heads, use_kernel=False)(
+        p, x, ctx, 0, 'down', (h, w), None, 1.0)
+    np.testing.assert_allclose(np.asarray(o_precise), np.asarray(o_xla),
+                               atol=2e-4, rtol=1e-3)
+    # default mode (bf16 matmul inputs, the TPU configuration): loose bound
+    o_kernel = make_region_override(regions, heads, use_kernel=True)(
         p, x, ctx, 0, 'down', (h, w), None, 1.0)
     np.testing.assert_allclose(np.asarray(o_kernel), np.asarray(o_xla),
                                atol=0.05, rtol=0.05)

@@ -68,3 +68,105 @@ def test_real_bpe_with_constructed_vocab(tmp_path):
     # unmerged pieces fall back to symbol tokens
     ids = tok.encode('ow', add_special_tokens=False)
     assert ids == [vocab['o'], vocab['w</w>']]
+
+
+def test_pretokenizer_goldens():
+    """Pin the CLIP pre-tokenization regex behavior (contractions split,
+    single digits, punctuation runs, lowercasing, whitespace cleanup) —
+    hand-verified against the published CLIP pattern
+    (openai/CLIP simple_tokenizer, used by transformers CLIPTokenizer,
+    loaded by the reference at trainer_edlora.py:39)."""
+    from mixofshow_tpu.text.tokenizer import _PAT, whitespace_clean
+
+    cases = {
+        "it's 3 dogs, blue-ish!":
+            ['it', "'s", '3', 'dogs', ',', 'blue', '-', 'ish', '!'],
+        "we'll i'm you're they've he'd can't":
+            ['we', "'ll", 'i', "'m", 'you', "'re", 'they', "'ve",
+             'he', "'d", 'can', "'t"],
+        'a  photo\tof\na dog':
+            ['a', 'photo', 'of', 'a', 'dog'],
+        '24 cats':
+            ['2', '4', 'cats'],           # digits tokenize one at a time
+        'x<|endoftext|>y':
+            ['x', '<|endoftext|>', 'y'],  # specials survive pretokenization
+        '@#$ hello_world':
+            ['@#$', 'hello', '_', 'world'],
+    }
+    for text, want in cases.items():
+        got = _PAT.findall(whitespace_clean(text).lower())
+        assert got == want, (text, got, want)
+
+
+def test_bpe_matches_independent_reimplementation(tmp_path):
+    """Cross-check _bpe against a naive, obviously-correct BPE: repeatedly
+    apply the single lowest-rank merge present. Randomized merge tables over
+    a real byte alphabet — pins merge-order semantics, the </w> suffix rule,
+    and tie handling beyond the hand-built fixture above."""
+    import json
+    import random
+
+    rng = random.Random(7)
+    alphabet = list('abcdefgh')
+    symbols = alphabet + [c + '</w>' for c in alphabet]
+    merges = []
+    pool = list(symbols)
+    for _ in range(40):
+        a = rng.choice([s for s in pool if not s.endswith('</w>')])
+        b = rng.choice(pool)
+        if (a, b) in merges or len(a + b) > 12:
+            continue
+        merges.append((a, b))
+        pool.append(a + b)
+    vocab = {t: i for i, t in enumerate(dict.fromkeys(symbols + [a + b for a, b in merges]))}
+    vocab['<|startoftext|>'] = len(vocab)
+    vocab['<|endoftext|>'] = len(vocab)
+    (tmp_path / 'vocab.json').write_text(json.dumps(vocab))
+    (tmp_path / 'merges.txt').write_text(
+        '\n'.join(['#version: 0.2'] + [f'{a} {b}' for a, b in merges]))
+    tok = CLIPTokenizer(str(tmp_path))
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def naive_bpe(token):
+        word = list(token[:-1]) + [token[-1] + '</w>']
+        while len(word) > 1:
+            pairs = [(ranks.get((word[i], word[i + 1]), float('inf')), i)
+                     for i in range(len(word) - 1)]
+            best_rank, _ = min(pairs)
+            if best_rank == float('inf'):
+                break
+            # merge EVERY occurrence of the best pair left-to-right
+            best = next(p for r, i in pairs if r == best_rank
+                        for p in [(word[i], word[i + 1])])
+            out, i = [], 0
+            while i < len(word):
+                if (i < len(word) - 1
+                        and (word[i], word[i + 1]) == best):
+                    out.append(word[i] + word[i + 1])
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            word = out
+        return ' '.join(word)
+
+    words = [''.join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+             for _ in range(300)]
+    for w in words:
+        assert tok._bpe(w) == naive_bpe(w), w
+
+
+def test_fallback_golden_vectors():
+    """Frozen (prompt → ids) regression goldens for the constructed-vocab
+    fallback (the path every weights-less environment runs): any change to
+    hashing, pretokenization, special tokens, or padding shows up here."""
+    tok = CLIPTokenizer()
+    ids = tok(['a photo of a dog', ''], max_length=10)
+    assert ids.shape == (2, 10)
+    # LITERAL frozen ids (sha256-derived): any change to hashing,
+    # pretokenization, specials, or padding breaks these exact values
+    golden_first = [49406, 19890, 4285, 43920, 19890, 42805,
+                    49407, 49407, 49407, 49407]
+    np.testing.assert_array_equal(ids[0], golden_first)
+    np.testing.assert_array_equal(ids[1][:2], [49406, 49407])
+    assert ids[0, 1] == ids[0, 4]  # same word, same id
