@@ -155,12 +155,36 @@ def test_asset_configs_parse():
         with open(fcfg) as f:
             entries = json.load(f)
         assert all('concept_name' in e and 'lora_path' in e for e in entries)
-    region_files = glob.glob(os.path.join(
-        root, 'datasets/validation_spatial_condition/multi-characters/*/*.txt'))
-    assert region_files
+    # every reference spatial-condition CATEGORY has a counterpart
+    # (/root/reference/datasets/validation_spatial_condition/**): 3-region
+    # and 5-region multi-character demos (real+anime), 2x canvases,
+    # characters-objects mixes, multi-objects sketch demos
+    spat = os.path.join(root, 'datasets/validation_spatial_condition')
+    for cat in ('multi-characters/real_pose', 'multi-characters/anime_pose',
+                'multi-characters/real_pose_2x',
+                'multi-characters/anime_pose_2x', 'characters-objects',
+                'multi-objects'):
+        files = glob.glob(os.path.join(spat, cat, '*.txt'))
+        assert files, f'no region files in {cat}'
+    region_files = glob.glob(os.path.join(spat, '*', '*.txt')) + \
+        glob.glob(os.path.join(spat, '*', '*', '*.txt'))
+    assert len(region_files) >= 10
+    five = False
     for rf in region_files:
         txt = open(rf).read()
-        assert "box1='[" in txt and "char1='<" in txt
+        assert "box1='[" in txt and "char1='" in txt
+        name = os.path.basename(rf)[:-4]
+        d = os.path.dirname(rf)
+        conds = [p for p in glob.glob(os.path.join(d, name + '_*'))
+                 if p.endswith(('.png', '.jpg'))]
+        assert conds, f'no condition image for {rf}'
+        five = five or "box5='[" in txt
+    assert five, 'no 5-region demo (reference anime_pose 5-character demo)'
+    # scene + object categories ship data cfgs like the reference
+    assert glob.glob(os.path.join(
+        root, 'datasets/data_cfgs/single-concept/scenes/real/*.json'))
+    assert len(glob.glob(os.path.join(
+        root, 'datasets/data_cfgs/single-concept/objects/real/*.json'))) >= 12
 
 
 def test_mixed_precision_policy():

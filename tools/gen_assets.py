@@ -15,15 +15,22 @@ import os
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHARACTERS = {
+    # reference: datasets/data_cfgs/MixofShow/single-concept/characters/**
     'real': [('potter', 'man'), ('hermione', 'woman'), ('thanos', 'man'),
              ('batman', 'man'), ('ironman', 'man')],
-    'anime': [('hina', 'girl'), ('kaori', 'girl'), ('tezuka', 'boy')],
+    'anime': [('hina', 'girl'), ('kaori', 'girl'), ('tezuka', 'boy'),
+              ('mitsuha', 'girl'), ('goku', 'boy')],
 }
+# reference objects/real: dogA/dogB/catA/vase/chair/table/carA/sailboat +
+# B2/f35 (airplanes), porsche_356a, yacht
 OBJECTS = ['dogA', 'dogB', 'catA', 'vase', 'chair', 'table', 'carA',
-           'sailboat']
+           'sailboat', 'B2', 'f35', 'porsche', 'yacht']
 OBJ_CLASS = {'dogA': 'dog', 'dogB': 'dog', 'catA': 'cat', 'vase': 'vase',
              'chair': 'chair', 'table': 'table', 'carA': 'car',
-             'sailboat': 'boat'}
+             'sailboat': 'boat', 'B2': 'airplane', 'f35': 'airplane',
+             'porsche': 'car', 'yacht': 'boat'}
+# reference scenes/real: pyramid, wululu
+SCENES = ['pyramid', 'wululu']
 
 
 def w(path, text):
@@ -53,6 +60,9 @@ def gen_data_cfgs():
     for name in OBJECTS:
         w(f'datasets/data_cfgs/single-concept/objects/real/{name}.json',
           data_cfg('objects', 'real', name))
+    for name in SCENES:
+        w(f'datasets/data_cfgs/single-concept/scenes/real/{name}.json',
+          data_cfg('scenes', 'real', name))
     # multi-concept fusion cfgs (consumed by gradient_fusion.py -concept_cfg)
     def fusion_entry(name):
         return {
@@ -96,17 +106,21 @@ def bench_suite(cls):
 
 
 def gen_prompts():
-    for cls in ('man', 'woman', 'girl', 'boy'):
+    # every class the data cfgs reference (incl. the reference's airplane
+    # suite, test_airplane.txt, and anime-specific test_goku.txt)
+    for cls in ('man', 'woman', 'girl', 'boy', 'goku'):
         w(f'datasets/validation_prompts/single-concept/characters/test_{cls}.txt',
           prompt_suite(cls))
-    for cls in ('dog', 'cat', 'vase', 'chair', 'table', 'car', 'boat'):
+    for cls in ('dog', 'cat', 'vase', 'chair', 'table', 'car', 'boat',
+                'airplane'):
         w(f'datasets/validation_prompts/single-concept/objects/test_{cls}.txt',
           prompt_suite(cls))
     w('datasets/validation_prompts/single-concept/scenes/test_scene.txt',
       prompt_suite('scene'))
     w('datasets/benchmark_prompts/single-concept/characters/test_character.txt',
       bench_suite('character'))
-    for cls in ('pet', 'chair', 'table', 'vase'):
+    # 'plushy' mirrors the reference's test_plushy.txt benchmark suite
+    for cls in ('pet', 'chair', 'table', 'vase', 'plushy'):
         w(f'datasets/benchmark_prompts/single-concept/objects/test_{cls}.txt',
           bench_suite(cls))
     w('datasets/benchmark_prompts/single-concept/scenes/test_scene.txt',
@@ -251,19 +265,67 @@ def gen_yamls():
 
 
 # ------------------------------------------------- spatial conditions
-REGION_TXT = """\
-context_prompt='two characters and one character standing in a garden, 4K, high quality, high resolution, best quality'
-context_neg_prompt='low quality, extra digits, blurry'
+# Demo table mirroring every reference validation_spatial_condition
+# category (multi-characters/{real,anime}_pose (+_2x), characters-objects,
+# multi-objects — /root/reference/datasets/validation_spatial_condition/**).
+# Each entry: (category dir, demo name, context, [(prompt, box-x-span)],
+# condition kinds). Boxes are near-full-height columns like the reference
+# demos; prompts are original.
+_COLS3 = ((28, 251), (215, 453), (651, 996))
+_COLS5 = ((18, 192), (194, 407), (433, 614), (627, 803), (803, 978))
 
-char1='<{a}1> <{a}2>'
-box1='[4, 28, 512, 251]'
 
-char2='<{b}1> <{b}2>'
-box2='[7, 215, 512, 453]'
+def _chars(*names):
+    return [f'a <{n}1> <{n}2>' for n in names]
 
-char3='<{c}1> <{c}2>'
-box3='[1, 651, 512, 996]'
-"""
+
+SPATIAL_DEMOS = [
+    ('multi-characters/real_pose', 'potter_hermione_thanos',
+     'three people standing in a garden',
+     _chars('potter', 'hermione', 'thanos'), _COLS3, ('pose', 'sketch'), 1),
+    ('multi-characters/real_pose', 'batman_ironman_batman',
+     'three heroes on a rooftop at night',
+     _chars('batman', 'ironman', 'batman'), _COLS3, ('pose',), 1),
+    ('multi-characters/real_pose_2x', 'potter_hermione_thanos_2x',
+     'three people standing in a garden',
+     _chars('potter', 'hermione', 'thanos'), _COLS3, ('pose',), 2),
+    ('multi-characters/anime_pose', 'hina_kaori_tezuka',
+     'three anime characters near a lake',
+     _chars('hina', 'kaori', 'tezuka'), _COLS3, ('pose', 'sketch'), 1),
+    ('multi-characters/anime_pose', 'hina_tezuka_mitsuha_goku_kaori',
+     'five anime characters near a lake',
+     _chars('hina', 'tezuka', 'mitsuha', 'goku', 'kaori'), _COLS5,
+     ('pose',), 1),
+    ('multi-characters/anime_pose_2x', 'hina_kaori_tezuka_2x',
+     'three anime characters near a lake',
+     _chars('hina', 'kaori', 'tezuka'), _COLS3, ('pose',), 2),
+    ('characters-objects', 'potter+catA+dogA',
+     'a man with a cat and a dog in a park',
+     ['a <potter1> <potter2>', 'a <catA1> <catA2>', 'a <dogA1> <dogA2>'],
+     _COLS3, ('pose', 'sketch'), 1),
+    ('characters-objects', 'hermione+chair+table',
+     'a woman beside a chair and a table in a study',
+     ['a <hermione1> <hermione2>', 'a <chair1> <chair2>',
+      'a <table1> <table2>'], _COLS3, ('pose', 'sketch'), 1),
+    ('multi-objects', 'dogA_catA_dogB',
+     'two dogs and a cat on a lawn',
+     _chars('dogA', 'catA', 'dogB'), _COLS3, ('sketch_jpg',), 1),
+    ('multi-objects', 'chair_table_vase',
+     'a chair, a table and a vase in a bright room',
+     _chars('chair', 'table', 'vase'), _COLS3, ('sketch_jpg',), 1),
+]
+
+
+def _region_txt(context, prompts, cols, scale):
+    lines = [f"context_prompt='{context}, 4K, high quality, high "
+             "resolution, best quality'",
+             "context_neg_prompt='low quality, extra digits, blurry'", '']
+    for i, (p, (x0, x1)) in enumerate(zip(prompts, cols), 1):
+        lines.append(f"char{i}='{p}'")
+        lines.append(f"box{i}='[{4 * scale}, {x0 * scale}, "
+                     f"{508 * scale}, {x1 * scale}]'")
+        lines.append('')
+    return '\n'.join(lines)
 
 
 def _stick_figure(draw, cx, top, h, width=6):
@@ -280,24 +342,31 @@ def _stick_figure(draw, cx, top, h, width=6):
 
 
 def gen_spatial():
-    for cat, (a, b, c) in (('real_pose', ('potter', 'hermione', 'thanos')),
-                           ('anime_pose', ('hina', 'kaori', 'tezuka'))):
-        base = f'datasets/validation_spatial_condition/multi-characters/{cat}'
-        w(f'{base}/{a}_{b}_{c}.txt', REGION_TXT.format(a=a, b=b, c=c))
-        try:
-            from PIL import Image, ImageDraw
-        except ImportError:
+    try:
+        from PIL import Image, ImageDraw
+    except ImportError:
+        Image = None
+    for cat, name, context, prompts, cols, kinds, scale in SPATIAL_DEMOS:
+        base = f'datasets/validation_spatial_condition/{cat}'
+        w(f'{base}/{name}.txt', _region_txt(context, prompts, cols, scale))
+        if Image is None:
             continue
-        img = Image.new('RGB', (1024, 512), 'black')
-        d = ImageDraw.Draw(img)
-        for x0, x1 in ((28, 251), (215, 453), (651, 996)):
-            _stick_figure(d, (x0 + x1) // 2, 16, 480)
-        img.save(os.path.join(ROOT, base, f'{a}_{b}_{c}_pose.png'))
-        sk = Image.new('RGB', (1024, 512), 'black')
-        d = ImageDraw.Draw(sk)
-        for x0, x1 in ((28, 251), (215, 453), (651, 996)):
-            d.rectangle([x0, 20, x1, 500], outline='white', width=4)
-        sk.save(os.path.join(ROOT, base, f'{a}_{b}_{c}_sketch.png'))
+        wpx, hpx = 1024 * scale, 512 * scale
+        if 'pose' in kinds:
+            img = Image.new('RGB', (wpx, hpx), 'black')
+            d = ImageDraw.Draw(img)
+            for x0, x1 in cols:
+                _stick_figure(d, (x0 + x1) * scale // 2, 16 * scale,
+                              480 * scale, width=6 * scale)
+            img.save(os.path.join(ROOT, base, f'{name}_pose.png'))
+        if 'sketch' in kinds or 'sketch_jpg' in kinds:
+            sk = Image.new('RGB', (wpx, hpx), 'black')
+            d = ImageDraw.Draw(sk)
+            for x0, x1 in cols:
+                d.rectangle([x0 * scale, 20 * scale, x1 * scale,
+                             500 * scale], outline='white', width=4 * scale)
+            ext = 'jpg' if 'sketch_jpg' in kinds else 'png'
+            sk.save(os.path.join(ROOT, base, f'{name}_sketch.{ext}'))
 
 
 if __name__ == '__main__':
