@@ -242,13 +242,40 @@ def _resnet(p, x, temb, groups):
 
 
 def mh_attention(p, x, context, heads: int, lora=None, alpha=1.0,
-                 return_probs: bool = False, return_pre_out: bool = False):
+                 return_probs: bool = False, return_pre_out: bool = False,
+                 fuse: bool = False):
     """diffusers `Attention` equivalent; (B, S, C) in/out.
 
     `return_pre_out` also yields the pre-output-projection tokens (the
-    to_out layer's input — fusion's capture point)."""
+    to_out layer's input — fusion's capture point). `fuse` routes the whole
+    processor (QKV projection + softmax + out-projection) to the Pallas
+    attention-block kernel on TPU (ops/fused_attention.py) — inference-only
+    (no VJP); LoRA folds into the effective weights (rank-4 outer product)."""
     b, s, c = x.shape
     d = c // heads
+    if fuse and not return_probs and not return_pre_out \
+            and 'bias' not in p['to_q'] \
+            and jax.default_backend() == 'tpu':
+        from mixofshow_tpu.ops.fused_attention import (
+            attention_block, attention_block_supported)
+        if attention_block_supported(s, context.shape[1], c,
+                                     context.shape[-1], heads):
+            def eff(name):
+                w = p[name]['kernel']
+                lw = maybe(lora, name)
+                if lw is not None:
+                    w = w + jnp.asarray(alpha, w.dtype) * jnp.dot(
+                        lw['down'].astype(w.dtype), lw['up'].astype(w.dtype),
+                        preferred_element_type=w.dtype)
+                return w
+
+            bias = p['to_out'].get('bias')
+            if bias is None:
+                bias = jnp.zeros((c,), x.dtype)
+            out = attention_block(x, context.astype(x.dtype), eff('to_q'),
+                                  eff('to_k'), eff('to_v'), eff('to_out'),
+                                  bias, heads)
+            return out, None
     # (a fused single QKV matmul was tried and measured slightly SLOWER
     # end-to-end: XLA does not hoist the in-scan weight concat out of the
     # denoise while-loop, so it re-materialized every step)
@@ -297,7 +324,8 @@ def _transformer(p, x, context, layer_idx: int, place: str, cfg: UNetConfig,
                  cross_attn_override: Optional[Callable] = None,
                  return_cross_probs: bool = False,
                  capture_grams: bool = False,
-                 prob_columns=None):
+                 prob_columns=None,
+                 fuse_attention: bool = False):
     """Transformer2DModel with one BasicTransformerBlock (SD1.x shape).
 
     `context` is (B, 77, C) or layerwise (B, L, 77, C) — sliced at
@@ -326,14 +354,20 @@ def _transformer(p, x, context, layer_idx: int, place: str, cfg: UNetConfig,
 
     # self-attention
     attn_in = layer_norm(p['ln1'], hid)
-    sa, _, sa_pre = mh_attention(p['attn1'], attn_in, attn_in,
-                                 cfg.attention_heads,
-                                 maybe(lora, 'attn1'), alpha,
-                                 return_pre_out=True)
+    need_pre1 = 'attn1_out' in points
+    if need_pre1:
+        sa, _, sa_pre = mh_attention(p['attn1'], attn_in, attn_in,
+                                     cfg.attention_heads,
+                                     maybe(lora, 'attn1'), alpha,
+                                     return_pre_out=True)
+        grams['attn1_out'] = gram(sa_pre)
+    else:
+        sa, _ = mh_attention(p['attn1'], attn_in, attn_in,
+                             cfg.attention_heads,
+                             maybe(lora, 'attn1'), alpha,
+                             fuse=fuse_attention)
     if 'attn1_qkv' in points:
         grams['attn1_qkv'] = gram(attn_in)
-    if 'attn1_out' in points:
-        grams['attn1_out'] = gram(sa_pre)
     hid = hid + sa
 
     # cross-attention (the ED-LoRA layer-indexed slot)
@@ -344,7 +378,7 @@ def _transformer(p, x, context, layer_idx: int, place: str, cfg: UNetConfig,
         ca = cross_attn_override(p['attn2'], attn_in, ctx, layer_idx, place,
                                  (h, w), maybe(lora, 'attn2'), alpha)
         ca_pre = None
-    else:
+    elif 'attn2_out' in points or return_cross_probs:
         ca, probs, ca_pre = mh_attention(p['attn2'], attn_in, ctx,
                                          cfg.attention_heads,
                                          maybe(lora, 'attn2'),
@@ -359,6 +393,11 @@ def _transformer(p, x, context, layer_idx: int, place: str, cfg: UNetConfig,
                 probs, jnp.broadcast_to(
                     cols, (*probs.shape[:3], prob_columns.shape[-1])),
                 axis=-1)
+    else:
+        ca, _ = mh_attention(p['attn2'], attn_in, ctx,
+                             cfg.attention_heads, maybe(lora, 'attn2'),
+                             alpha, fuse=fuse_attention)
+        ca_pre = None
     if 'attn2_q' in points:
         grams['attn2_q'] = gram(attn_in)
     if 'attn2_out' in points and ca_pre is not None:
@@ -391,7 +430,8 @@ def unet_apply(params, sample: jnp.ndarray, timesteps: jnp.ndarray,
                return_cross_probs: bool = False,
                capture_grams: bool = False,
                prob_columns=None,
-               remat: bool = False):
+               remat: bool = False,
+               fuse_attention: bool = False):
     """Predict noise/velocity. sample: (B, H, W, 4) NHWC; timesteps: (B,) or
     scalar; encoder_hidden_states: (B, 77, C) or layerwise (B, L, 77, C).
 
@@ -412,13 +452,13 @@ def unet_apply(params, sample: jnp.ndarray, timesteps: jnp.ndarray,
     tfm = _transformer
     if remat:
         tfm = jax.checkpoint(_transformer,
-                             static_argnums=(3, 4, 5, 8, 9, 10),
+                             static_argnums=(3, 4, 5, 8, 9, 10, 12),
                              policy=jax.checkpoint_policies.nothing_saveable)
 
     def run_pair(p_attn, x, idx, place, blora):
         return tfm(p_attn, x, ehs, idx, place, cfg, blora, lora_alpha,
                    cross_attn_override, return_cross_probs, capture_grams,
-                   prob_columns)
+                   prob_columns, fuse_attention)
 
     x = conv2d(params['conv_in'], sample)
     residuals = [x]

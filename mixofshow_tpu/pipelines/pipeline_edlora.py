@@ -33,6 +33,18 @@ from mixofshow_tpu.pipelines.concepts import (NUM_CROSS_ATTENTION_LAYERS,
                                               bind_concept_prompt)
 from mixofshow_tpu.text.tokenizer import CLIPTokenizer
 
+# Route whole attention processors (QKV proj + softmax + out proj) to the
+# Pallas attention-block kernel (ops/fused_attention.py) on TPU. Opt-in:
+# isolated micro-benchmarks (tools/bench_attn_block.py, v5e) measured the
+# fused kernel SLOWER than the unfused dense-projection path at every SD1.5
+# sampling shape (worst: res-64 cross-attention 0.92 vs 0.20 ms — the
+# per-head q-projection runs at ~31% MXU utilization and the (b, q-block,
+# head) grid adds per-program overhead), so the default stays the unfused
+# path unless end-to-end measurement shows the in-context layout savings
+# outweigh that.
+import os as _os
+FUSE_ATTENTION = _os.environ.get('MOS_FUSE_ATTENTION', '0') == '1'
+
 
 @functools.partial(jax.jit, static_argnames=('ccfg',))
 def _encode_ids(te_params, ids, concept_embedding, ccfg, lora=None,
@@ -73,7 +85,8 @@ def _sample_loop(unet_params, lora, lora_alpha, prompt_embeds, latents,
                               jnp.broadcast_to(t, (latent_in.shape[0],)),
                               prompt_embeds, ucfg, lora=lora,
                               lora_alpha=lora_alpha,
-                              return_cross_probs=bool(capture))
+                              return_cross_probs=bool(capture),
+                              fuse_attention=FUSE_ATTENTION)
         eps = eps.astype(jnp.float32)
         if capture:
             for place, idx, probs in aux['cross_probs']:
@@ -114,7 +127,8 @@ def _single_step(unet_params, lora, lora_alpha, prompt_embeds, sample,
                           jnp.broadcast_to(t, (latent_in.shape[0],)),
                           prompt_embeds, ucfg, lora=lora,
                           lora_alpha=lora_alpha,
-                          return_cross_probs=bool(capture))
+                          return_cross_probs=bool(capture),
+                          fuse_attention=FUSE_ATTENTION)
     eps = eps.astype(jnp.float32)
     probs = {(place, idx): p.astype(jnp.float32)
              for place, idx, p in aux.get('cross_probs', [])

@@ -125,3 +125,102 @@ def test_flash_bhsd_layout_matches():
     b = flash_attention(q, k, v, 64, 64, out_layout='bhsd')
     np.testing.assert_allclose(np.asarray(jnp.swapaxes(b, 1, 2)),
                                np.asarray(a), atol=1e-6)
+
+
+def _ref_attention_block(p, x, ctx, heads):
+    """Dense reference for the fused attention-block kernel: exactly
+    unet.mh_attention's unfused math."""
+    from mixofshow_tpu.models.unet import mh_attention
+    out, _ = mh_attention(p, x, ctx, heads)
+    return out
+
+
+@pytest.mark.parametrize('sq,sk,c,cc,heads', [
+    (256, 256, 80, 80, 2),      # self-attention (D=40, SD1.x head dim)
+    (256, 77, 80, 64, 2),       # cross-attention, 77 keys masked to 128
+    (100, 77, 96, 64, 4),       # unaligned q length (padding path)
+])
+def test_fused_attention_block_matches_dense(sq, sk, c, cc, heads):
+    """QKV-proj + softmax + out-proj in one Pallas program (interpret mode)
+    must match the unfused mh_attention at fp32 (precise) and within bf16
+    rounding (default mode)."""
+    from mixofshow_tpu.ops.fused_attention import attention_block
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, sq, c)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(0, 1, (2, sk, cc)), jnp.float32)
+
+    def lin(ci, co, bias=False):
+        p = {'kernel': jnp.asarray(rng.normal(0, 0.08, (ci, co)),
+                                   jnp.float32)}
+        if bias:
+            p['bias'] = jnp.asarray(rng.normal(0, 0.05, (co,)), jnp.float32)
+        return p
+
+    p = {'to_q': lin(c, c), 'to_k': lin(cc, c), 'to_v': lin(cc, c),
+         'to_out': lin(c, c, bias=True)}
+    ref = np.asarray(_ref_attention_block(p, x, ctx, heads))
+
+    out_precise = np.asarray(attention_block(
+        x, ctx, p['to_q']['kernel'], p['to_k']['kernel'],
+        p['to_v']['kernel'], p['to_out']['kernel'], p['to_out']['bias'],
+        heads, precise=True))
+    np.testing.assert_allclose(out_precise, ref, atol=2e-5, rtol=1e-4)
+
+    out_bf16 = np.asarray(attention_block(
+        x, ctx, p['to_q']['kernel'], p['to_k']['kernel'],
+        p['to_v']['kernel'], p['to_out']['kernel'], p['to_out']['bias'],
+        heads))
+    np.testing.assert_allclose(out_bf16, ref, atol=0.05, rtol=0.05)
+
+
+def test_fused_attention_block_supported_rules():
+    from mixofshow_tpu.ops.fused_attention import attention_block_supported
+    # the SD1.5 sampling shapes at CFG-b8 must route to the kernel
+    assert attention_block_supported(4096, 4096, 320, 320, 8)   # res-64 self
+    assert attention_block_supported(4096, 77, 320, 768, 8)     # res-64 cross
+    assert attention_block_supported(1024, 1024, 640, 640, 8)   # res-32 self
+    assert attention_block_supported(256, 256, 1280, 1280, 8)   # res-16 self
+    assert attention_block_supported(64, 77, 1280, 768, 8)      # mid cross
+    # indivisible heads rejected
+    assert not attention_block_supported(256, 256, 100, 100, 8)
+
+
+def test_fused_attention_block_lora_fold_matches_unfused():
+    """mh_attention(fuse=True) must fold LoRA into the effective weights;
+    verified against the unfused path via the kernel's precise mode (the
+    TPU-only gate is bypassed by calling the fold + kernel directly)."""
+    from mixofshow_tpu.models.lora import init_lora_tree
+    from mixofshow_tpu.models.unet import mh_attention
+    from mixofshow_tpu.ops.fused_attention import attention_block
+
+    rng = np.random.default_rng(3)
+    heads, c = 2, 80
+    x = jnp.asarray(rng.normal(0, 1, (1, 128, c)), jnp.float32)
+
+    def lin(ci, co, bias=False):
+        p = {'kernel': jnp.asarray(rng.normal(0, 0.08, (ci, co)),
+                                   jnp.float32)}
+        if bias:
+            p['bias'] = jnp.asarray(rng.normal(0, 0.05, (co,)), jnp.float32)
+        return p
+
+    p = {'to_q': lin(c, c), 'to_k': lin(c, c), 'to_v': lin(c, c),
+         'to_out': lin(c, c, bias=True)}
+    lora = init_lora_tree(7, p, lambda path: True, rank=4)
+    # nonzero up so the delta matters
+    lora = jax.tree.map(lambda a: a + 0.05, lora)
+    alpha = 0.7
+
+    ref, _ = mh_attention(p, x, x, heads, lora=lora, alpha=alpha)
+
+    def eff(name):
+        w = p[name]['kernel']
+        lw = lora[name]
+        return w + alpha * (lw['down'] @ lw['up'])
+
+    out = attention_block(x, x, eff('to_q'), eff('to_k'), eff('to_v'),
+                          eff('to_out'), p['to_out']['bias'], heads,
+                          precise=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
