@@ -60,6 +60,40 @@ def conv2d(p, x, stride: int = 1, padding='SAME', lora=None,
 
 
 # ----------------------------------------------------------------------- norm
+# GroupNorm statistics strategy. Round-3 VAE-decode profiling
+# (tools/profile_sampling.py --target vae): the plain
+# `jnp.sum(x, axis=(1,2), dtype=f32)` pair made XLA materialize TWO fp32
+# copies of every spatially-tiled conv output in a transposed {3,0,2,1}
+# layout — 58 ms of the 163 ms b4 512^2 decode, ~20x over the bandwidth
+# floor. Variants (switchable for measurement, tools/bench_gn.py):
+#   onepass   the sum/sum-of-squares pair above
+#   h_first   reduce axis 1 to (b, w, c) fp32, then axis 1 — the partial
+#             reduce can fuse inside XLA's spatial tiles
+#   w_first   reduce axis 2 first
+#   pallas    ops/gn_stats.py kernel: one bf16 read of x, fp32 accumulators
+import os as _os
+GN_STATS_IMPL = _os.environ.get('MOS_GN_STATS', 'onepass')
+
+
+def _gn_sums(x):
+    """Per-(batch, channel) fp32 (sum, sum-of-squares) over spatial axes."""
+    impl = GN_STATS_IMPL
+    if impl == 'pallas' and x.ndim == 4 and jax.default_backend() == 'tpu':
+        from mixofshow_tpu.ops.gn_stats import spatial_sums
+        return spatial_sums(x)
+    if impl == 'h_first':
+        s1 = jnp.sum(x, axis=1, dtype=jnp.float32)
+        q1 = jnp.sum(jax.lax.square(x), axis=1, dtype=jnp.float32)
+        return s1.sum(axis=1), q1.sum(axis=1)
+    if impl == 'w_first':
+        s1 = jnp.sum(x, axis=2, dtype=jnp.float32)
+        q1 = jnp.sum(jax.lax.square(x), axis=2, dtype=jnp.float32)
+        return s1.sum(axis=1), q1.sum(axis=1)
+    s = jnp.sum(x, axis=(1, 2), dtype=jnp.float32)
+    s2 = jnp.sum(jax.lax.square(x), axis=(1, 2), dtype=jnp.float32)
+    return s, s2
+
+
 def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5,
                act: Optional[str] = None):
     """GroupNorm over NHWC (channels last), fp32 statistics.
@@ -88,8 +122,7 @@ def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5,
     # 512^2 b4 decode. The square runs in the input dtype with an fp32
     # accumulator — bf16 squares carry 2^-9 relative error, below the
     # noise already in bf16 activations (fp32 inputs keep fp32 squares).
-    s = jnp.sum(x, axis=(1, 2), dtype=jnp.float32)               # (b, c)
-    s2 = jnp.sum(jax.lax.square(x), axis=(1, 2), dtype=jnp.float32)
+    s, s2 = _gn_sums(x)                                          # (b, c)
     mean_g = s.reshape(b, g, c // g).mean(axis=-1) / (h * w)   # (b, g)
     m2_g = s2.reshape(b, g, c // g).mean(axis=-1) / (h * w)    # (b, g)
     mean_c = jnp.repeat(mean_g, c // g, axis=-1)         # (b, c) fp32

@@ -132,6 +132,27 @@ def _resnet(p, x, groups=32):
 def _attn(p, x, groups=32):
     b, h, w, c = x.shape
     hid = group_norm(p['norm'], x, groups, eps=EPS)
+    if jax.default_backend() == 'tpu':
+        # whole-processor Pallas kernel: the dense path materializes
+        # (B, 1, HW, HW) fp32 logits — 268 MB at the 512^2 decode's 64^2
+        # mid-attention, batch 4 — while the kernel keeps the single-head
+        # QKV projection + softmax + proj epilogue in VMEM. 1x1 convs on
+        # (B, HW, C) tokens ARE the dense projections (biases included).
+        # `precise` preserves fp32 math when the surrounding graph is fp32
+        # (training-side encode); bf16 graphs keep bf16 matmuls.
+        from mixofshow_tpu.ops.fused_attention import (
+            attention_block, attention_block_supported)
+        if attention_block_supported(h * w, h * w, c, c, 1):
+            tokens = hid.reshape(b, h * w, c)
+            out = attention_block(
+                tokens, tokens,
+                p['q']['kernel'].reshape(c, c), p['k']['kernel'].reshape(c, c),
+                p['v']['kernel'].reshape(c, c),
+                p['proj']['kernel'].reshape(c, c), p['proj']['bias'], 1,
+                precise=(x.dtype == jnp.float32),
+                bias_q=p['q']['bias'], bias_k=p['k']['bias'],
+                bias_v=p['v']['bias'])
+            return x + out.reshape(b, h, w, c)
     q = conv2d(p['q'], hid).reshape(b, h * w, 1, c)
     k = conv2d(p['k'], hid).reshape(b, h * w, 1, c)
     v = conv2d(p['v'], hid).reshape(b, h * w, 1, c)

@@ -1,0 +1,97 @@
+"""Pallas spatial-sum kernel for GroupNorm statistics.
+
+Round-3 profiling (tools/profile_sampling.py --target vae): the XLA lowering
+of `jnp.sum(x, (1,2), dtype=f32)` + `jnp.sum(x*x, (1,2), dtype=f32)` over
+spatially-tiled conv outputs materializes TWO transposed fp32 copies of the
+whole activation (58 ms of the 163 ms 512^2 b4 VAE decode — ~20x the
+bandwidth floor). This kernel reads x ONCE in its storage dtype and
+accumulates per-(batch, channel) fp32 sum and sum-of-squares in VMEM
+scratch across row-tile grid steps.
+
+Differentiable via custom_vjp: the backward of (sum, sum x^2) is the
+elementwise broadcast g_s + 2*x*g_s2, which XLA fuses fine — only the
+forward reduction needed a kernel.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != 'tpu'
+
+
+def _kernel(x_ref, o_ref, acc_ref, *, n_tiles: int):
+    """x (1, BH, W, C); o (1, 2, C) f32; acc (2, C) f32 scratch."""
+    t = pl.program_id(1)
+    xf = x_ref[0].astype(jnp.float32)          # (BH, W, C)
+    s = xf.sum(axis=0).sum(axis=0)             # (C,)
+    s2 = jax.lax.square(xf).sum(axis=0).sum(axis=0)
+    part = jnp.stack([s, s2])                  # (2, C)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(t > 0)
+    def _():
+        acc_ref[:] += part
+
+    @pl.when(t == n_tiles - 1)
+    def _():
+        o_ref[0] = acc_ref[:]
+
+
+def _row_block(h: int, w: int, c: int, bytes_per: int) -> int:
+    """Largest power-of-two row count dividing h with the block under ~8MB
+    (double-buffered under the 100MB scoped limit)."""
+    bh = h
+    while bh > 8 and bh * w * c * bytes_per > 8 * 1024 * 1024:
+        bh //= 2
+    while h % bh:
+        bh //= 2
+    return max(bh, 1)
+
+
+def _sums_fwd_impl(x):
+    b, h, w, c = x.shape
+    bh = _row_block(h, w, c, x.dtype.itemsize)
+    grid = (b, h // bh)
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_tiles=h // bh),
+        out_shape=jax.ShapeDtypeStruct((b, 2, c), jnp.float32),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, bh, w, c), lambda i, t: (i, t, 0, 0))],
+        out_specs=pl.BlockSpec((1, 2, c), lambda i, t: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x)
+    return out[:, 0], out[:, 1]
+
+
+@jax.custom_vjp
+def spatial_sums(x):
+    """(B, H, W, C) -> fp32 ((B, C) sum, (B, C) sum-of-squares) over the
+    spatial axes, reading x once in its storage dtype."""
+    return _sums_fwd_impl(x)
+
+
+def _fwd(x):
+    return _sums_fwd_impl(x), x
+
+
+def _bwd(x, g):
+    gs, gs2 = g
+    dx = gs[:, None, None, :] + 2.0 * x.astype(jnp.float32) \
+        * gs2[:, None, None, :]
+    return (dx.astype(x.dtype),)
+
+
+spatial_sums.defvjp(_fwd, _bwd)

@@ -224,3 +224,126 @@ def test_fused_attention_block_lora_fold_matches_unfused():
                           precise=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_fused_attention_block_biases_single_head():
+    """VAE-style attention: single head, d == c, q/k/v projection biases.
+    Kernel must match the dense math including all biases."""
+    from mixofshow_tpu.ops.fused_attention import (attention_block,
+                                                   attention_block_supported)
+
+    rng = np.random.default_rng(5)
+    c, s = 128, 200
+    x = jnp.asarray(rng.normal(0, 1, (2, s, c)), jnp.float32)
+
+    def w(ci, co):
+        return jnp.asarray(rng.normal(0, 0.08, (ci, co)), jnp.float32)
+
+    def bv(co):
+        return jnp.asarray(rng.normal(0, 0.05, (co,)), jnp.float32)
+
+    wq, wk, wv, wo = w(c, c), w(c, c), w(c, c), w(c, c)
+    bq, bk, bvv, bo = bv(c), bv(c), bv(c), bv(c)
+
+    q = x @ wq + bq
+    k = x @ wk + bk
+    v = x @ wv + bvv
+    logits = jnp.einsum('bqc,bkc->bqk', q, k) / np.sqrt(c)
+    p = jax.nn.softmax(logits, -1)
+    ref = jnp.einsum('bqk,bkc->bqc', p, v) @ wo + bo
+
+    assert attention_block_supported(s, s, c, c, 1)
+    out = attention_block(x, x, wq, wk, wv, wo, bo, 1, precise=True,
+                          bias_q=bq, bias_k=bk, bias_v=bvv)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize('sq,sk,c,cc,heads', [
+    (256, 256, 80, 80, 2),      # self-attention (D=40)
+    (256, 77, 80, 64, 2),       # cross-attention, 77 keys masked
+    (100, 77, 96, 64, 4),       # unaligned q length
+    (256, 256, 320, 320, 2),    # D=160 -> Dp=256 (two-tile head slices)
+])
+def test_attention_packed_matches_dense(sq, sk, c, cc, heads):
+    """Packed-flash processor (XLA padded projections + 128-aligned head
+    column BlockSpecs) must match the unfused mh_attention."""
+    from mixofshow_tpu.ops.fused_attention import attention_packed
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (2, sq, c)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(0, 1, (2, sk, cc)), jnp.float32)
+
+    def lin(ci, co, bias=False):
+        p = {'kernel': jnp.asarray(rng.normal(0, 0.08, (ci, co)),
+                                   jnp.float32)}
+        if bias:
+            p['bias'] = jnp.asarray(rng.normal(0, 0.05, (co,)), jnp.float32)
+        return p
+
+    p = {'to_q': lin(c, c), 'to_k': lin(cc, c), 'to_v': lin(cc, c),
+         'to_out': lin(c, c, bias=True)}
+    ref = np.asarray(_ref_attention_block(p, x, ctx, heads))
+
+    out = np.asarray(attention_packed(
+        x, ctx, p['to_q']['kernel'], p['to_k']['kernel'],
+        p['to_v']['kernel'], p['to_out']['kernel'], p['to_out']['bias'],
+        heads, precise=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_gn_spatial_sums_matches_and_grads():
+    """Pallas GroupNorm statistics kernel: forward sums match jnp at fp32;
+    custom VJP matches autodiff of the plain implementation."""
+    from mixofshow_tpu.ops.gn_stats import spatial_sums
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(0, 1, (2, 24, 16, 128)), jnp.float32)
+
+    s, s2 = spatial_sums(x)
+    np.testing.assert_allclose(np.asarray(s),
+                               np.asarray(jnp.sum(x, axis=(1, 2))),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(s2), np.asarray(jnp.sum(x * x, axis=(1, 2))),
+        rtol=1e-5, atol=1e-4)
+
+    def f_kernel(x):
+        a, b = spatial_sums(x)
+        return (a * 0.3 + b * 0.1).sum()
+
+    def f_plain(x):
+        return (jnp.sum(x, axis=(1, 2)) * 0.3
+                + jnp.sum(x * x, axis=(1, 2)) * 0.1).sum()
+
+    g1 = jax.grad(f_kernel)(x)
+    g2 = jax.grad(f_plain)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_group_norm_stats_impls_agree():
+    """All MOS_GN_STATS strategies produce the same group_norm output."""
+    from mixofshow_tpu.models import layers
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(0, 2, (2, 16, 8, 64)), jnp.float32)
+    p = {'scale': jnp.asarray(rng.normal(1, 0.1, (64,)), jnp.float32),
+         'bias': jnp.asarray(rng.normal(0, 0.1, (64,)), jnp.float32)}
+
+    orig = layers.GN_STATS_IMPL
+    try:
+        layers.GN_STATS_IMPL = 'onepass'
+        ref = np.asarray(layers.group_norm(p, x, 8))
+        for impl in ('h_first', 'w_first'):
+            layers.GN_STATS_IMPL = impl
+            out = np.asarray(layers.group_norm(p, x, 8))
+            np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+        # pallas impl is TPU-gated in _gn_sums; check the kernel directly
+        from mixofshow_tpu.ops.gn_stats import spatial_sums
+        s, s2 = spatial_sums(x)
+        np.testing.assert_allclose(np.asarray(s),
+                                   np.asarray(jnp.sum(x, axis=(1, 2))),
+                                   rtol=1e-5, atol=1e-4)
+    finally:
+        layers.GN_STATS_IMPL = orig

@@ -30,6 +30,7 @@ SHAPES = [
     ('cross16', 8, 256, 1280, 77, 768),
     ('self8', 8, 64, 1280, 64, 1280),
     ('cross8', 8, 64, 1280, 77, 768),
+    ('vae64', 4, 4096, 512, 4096, 512),   # VAE mid-attention (1 head), b4
 ]
 HEADS = 8
 
@@ -44,6 +45,7 @@ def main():
     fns = {}
     key = jax.random.PRNGKey(0)
     for name, b, sq, c, sk, cc in SHAPES:
+        heads = 1 if name.startswith('vae') else HEADS
         ks = jax.random.split(key, 8)
         x = jax.random.normal(ks[0], (b, sq, c), jnp.bfloat16)
         ctx = (x if sk == sq else
@@ -65,15 +67,15 @@ def main():
             return jax.jit(fn)
 
         fns[f'{name}/unfused'] = (named_jit(
-            lambda p, x, ctx: mh_attention(p, x, ctx, HEADS)[0],
+            lambda p, x, ctx, heads=heads: mh_attention(p, x, ctx, heads)[0],
             f'{name}_unfused'), (p, x, ctx))
 
-        if attention_block_supported(sq, sk, c, cc, HEADS):
+        if attention_block_supported(sq, sk, c, cc, heads):
             fns[f'{name}/fused'] = (named_jit(
-                lambda p, x, ctx: attention_block(
+                lambda p, x, ctx, heads=heads: attention_block(
                     x, ctx, p['to_q']['kernel'], p['to_k']['kernel'],
                     p['to_v']['kernel'], p['to_out']['kernel'],
-                    p['to_out']['bias'], HEADS),
+                    p['to_out']['bias'], heads),
                 f'{name}_fused'), (p, x, ctx))
         else:
             print(f'{name}: fused UNSUPPORTED by VMEM budget', flush=True)
@@ -100,10 +102,16 @@ def main():
                              recursive=True), key=os.path.getmtime)
     with gzip.open(files[-1], 'rt') as f:
         data = json.load(f)
-    agg = defaultdict(float)
-    cnt = defaultdict(int)
+    # DEVICE-lane envelopes only: host-side jit_* events measure dispatch
+    # queueing of async calls, not execution (profile_sampling.py recipe)
+    pid_names = {e['pid']: e['args'].get('name', '') for e in
+                 data.get('traceEvents', [])
+                 if e.get('ph') == 'M' and e.get('name') == 'process_name'}
+    agg, cnt = defaultdict(float), defaultdict(int)
     for e in data.get('traceEvents', []):
         if e.get('ph') != 'X':
+            continue
+        if 'TPU' not in pid_names.get(e.get('pid'), ''):
             continue
         n = e.get('name', '')
         if n.startswith('jit_'):
