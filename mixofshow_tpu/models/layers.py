@@ -131,6 +131,13 @@ def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5,
     # fold affine: out = x * a + bb, a/b computed fp32 on (b, c) only
     a = p['scale'].astype(jnp.float32)[None, :] * rstd_c
     bb = p['bias'].astype(jnp.float32)[None, :] - mean_c * a
+    if (GN_STATS_IMPL == 'pallas' and x.ndim == 4
+            and jax.default_backend() == 'tpu'):
+        # one Pallas read+write: XLA's lowering of the broadcast affine
+        # re-tiles through transposing elementwise fusions (~32 ms of the
+        # b4 512^2 VAE decode, tools/profile_sampling.py round 3)
+        from mixofshow_tpu.ops.gn_stats import scale_bias_act
+        return scale_bias_act(x, a, bb, act or 'none')
     # pass 3: apply in activation dtype
     out = x * a.astype(x.dtype)[:, None, None, :] \
         + bb.astype(x.dtype)[:, None, None, :]

@@ -257,9 +257,12 @@ def mh_attention(p, x, context, heads: int, lora=None, alpha=1.0,
             and 'bias' not in p['to_q'] \
             and jax.default_backend() == 'tpu':
         from mixofshow_tpu.ops.fused_attention import (
-            attention_block, attention_block_supported)
-        if attention_block_supported(s, context.shape[1], c,
-                                     context.shape[-1], heads):
+            attention_block, attention_block_supported, attention_packed,
+            attention_packed_supported)
+        use_packed = (fuse == 'packed')
+        supported = (attention_packed_supported if use_packed
+                     else attention_block_supported)
+        if supported(s, context.shape[1], c, context.shape[-1], heads):
             def eff(name):
                 w = p[name]['kernel']
                 lw = maybe(lora, name)
@@ -272,9 +275,10 @@ def mh_attention(p, x, context, heads: int, lora=None, alpha=1.0,
             bias = p['to_out'].get('bias')
             if bias is None:
                 bias = jnp.zeros((c,), x.dtype)
-            out = attention_block(x, context.astype(x.dtype), eff('to_q'),
-                                  eff('to_k'), eff('to_v'), eff('to_out'),
-                                  bias, heads)
+            op = attention_packed if use_packed else attention_block
+            out = op(x, context.astype(x.dtype), eff('to_q'),
+                     eff('to_k'), eff('to_v'), eff('to_out'),
+                     bias, heads)
             return out, None
     # (a fused single QKV matmul was tried and measured slightly SLOWER
     # end-to-end: XLA does not hoist the in-scan weight concat out of the

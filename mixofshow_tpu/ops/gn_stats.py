@@ -95,3 +95,68 @@ def _bwd(x, g):
 
 
 spatial_sums.defvjp(_fwd, _bwd)
+
+
+# ------------------------------------------------------------------- apply
+def _apply_kernel(x_ref, a_ref, b_ref, o_ref, *, act: str):
+    """o = act(x * a + b) with per-(batch, channel) fp32 a/b.
+    x/o (1, BH, W, C); a/b (1, C)."""
+    dt = x_ref.dtype
+    a = a_ref[0].astype(dt)
+    b = b_ref[0].astype(dt)
+    y = x_ref[0] * a[None, None, :] + b[None, None, :]
+    if act == 'silu':
+        y = jax.nn.silu(y)
+    o_ref[0] = y
+
+
+def _apply_fwd_impl(x, a, b, act: str):
+    bsz, h, w, c = x.shape
+    bh = _row_block(h, w, c, x.dtype.itemsize)
+    grid = (bsz, h // bh)
+    return pl.pallas_call(
+        functools.partial(_apply_kernel, act=act),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bh, w, c), lambda i, t: (i, t, 0, 0)),
+            pl.BlockSpec((1, c), lambda i, t: (i, 0)),
+            pl.BlockSpec((1, c), lambda i, t: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bh, w, c), lambda i, t: (i, t, 0, 0)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x, a, b)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def scale_bias_act(x, a, b, act: str = 'none'):
+    """act(x * a + b) with (B, C) fp32 scale/bias broadcast over the spatial
+    axes of (B, H, W, C) x — GroupNorm's folded-affine apply pass as one
+    Pallas read+write (the XLA lowering re-tiles it through transposing
+    elementwise fusions — 32 ms of the b4 512^2 VAE decode)."""
+    return _apply_fwd_impl(x, a, b, act)
+
+
+def _apply_fwd(x, a, b, act):
+    return _apply_fwd_impl(x, a, b, act), (x, a, b)
+
+
+def _apply_bwd(act, res, g):
+    x, a, b = res
+    dt = x.dtype
+    af = a.astype(dt)[:, None, None, :]
+    gy = g
+    if act == 'silu':
+        y = (x * af + b.astype(dt)[:, None, None, :]).astype(jnp.float32)
+        sig = jax.nn.sigmoid(y)
+        gy = g * (sig * (1.0 + y * (1.0 - sig))).astype(dt)
+    dx = gy * af
+    da = jnp.sum(gy.astype(jnp.float32) * x.astype(jnp.float32),
+                 axis=(1, 2))
+    db = jnp.sum(gy, axis=(1, 2), dtype=jnp.float32)
+    return dx, da.astype(a.dtype), db.astype(b.dtype)
+
+
+scale_bias_act.defvjp(_apply_fwd, _apply_bwd)

@@ -43,7 +43,9 @@ from mixofshow_tpu.text.tokenizer import CLIPTokenizer
 # path unless end-to-end measurement shows the in-context layout savings
 # outweigh that.
 import os as _os
-FUSE_ATTENTION = _os.environ.get('MOS_FUSE_ATTENTION', '0') == '1'
+FUSE_ATTENTION = {'0': False, '1': True, '2': 'packed',
+                  'packed': 'packed'}.get(
+    _os.environ.get('MOS_FUSE_ATTENTION', '0'), False)
 
 
 @functools.partial(jax.jit, static_argnames=('ccfg',))

@@ -347,3 +347,31 @@ def test_group_norm_stats_impls_agree():
                                    rtol=1e-5, atol=1e-4)
     finally:
         layers.GN_STATS_IMPL = orig
+
+
+def test_gn_scale_bias_act_matches_and_grads():
+    """Pallas GN apply kernel: forward matches the plain broadcast affine
+    (+silu) and the custom VJP matches autodiff of the plain form."""
+    from mixofshow_tpu.ops.gn_stats import scale_bias_act
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 8, 128)), jnp.float32)
+    a = jnp.asarray(rng.normal(1, 0.2, (2, 128)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.2, (2, 128)), jnp.float32)
+
+    def plain(x, a, b, act):
+        y = x * a[:, None, None, :] + b[:, None, None, :]
+        return jax.nn.silu(y) if act == 'silu' else y
+
+    for act in ('none', 'silu'):
+        out = np.asarray(scale_bias_act(x, a, b, act))
+        ref = np.asarray(plain(x, a, b, act))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+        g1 = jax.grad(lambda *t: scale_bias_act(*t, act).sum(),
+                      argnums=(0, 1, 2))(x, a, b)
+        g2 = jax.grad(lambda *t: plain(*t, act).sum(),
+                      argnums=(0, 1, 2))(x, a, b)
+        for u, v in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                       rtol=1e-4, atol=1e-4)

@@ -80,6 +80,18 @@ def main():
         else:
             print(f'{name}: fused UNSUPPORTED by VMEM budget', flush=True)
 
+        from mixofshow_tpu.ops.fused_attention import (
+            attention_packed, attention_packed_supported)
+        if attention_packed_supported(sq, sk, c, cc, heads):
+            fns[f'{name}/packed'] = (named_jit(
+                lambda p, x, ctx, heads=heads: attention_packed(
+                    x, ctx, p['to_q']['kernel'], p['to_k']['kernel'],
+                    p['to_v']['kernel'], p['to_out']['kernel'],
+                    p['to_out']['bias'], heads),
+                f'{name}_packed'), (p, x, ctx))
+        else:
+            print(f'{name}: packed UNSUPPORTED', flush=True)
+
     for name, (fn, args) in list(fns.items()):
         try:
             jax.block_until_ready(fn(*args))
