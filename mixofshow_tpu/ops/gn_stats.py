@@ -100,10 +100,12 @@ spatial_sums.defvjp(_fwd, _bwd)
 # ------------------------------------------------------------------- apply
 def _apply_kernel(x_ref, a_ref, b_ref, o_ref, *, act: str):
     """o = act(x * a + b) with per-(batch, channel) fp32 a/b.
-    x/o (1, BH, W, C); a/b (1, C)."""
+    x/o (1, BH, W, C); a/b (1, 1, C) — the batch row is lifted to a leading
+    dim so the block's trailing dims (1, C) equal the array's (TPU block
+    shape rule)."""
     dt = x_ref.dtype
-    a = a_ref[0].astype(dt)
-    b = b_ref[0].astype(dt)
+    a = a_ref[0, 0].astype(dt)
+    b = b_ref[0, 0].astype(dt)
     y = x_ref[0] * a[None, None, :] + b[None, None, :]
     if act == 'silu':
         y = jax.nn.silu(y)
@@ -120,14 +122,14 @@ def _apply_fwd_impl(x, a, b, act: str):
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bh, w, c), lambda i, t: (i, t, 0, 0)),
-            pl.BlockSpec((1, c), lambda i, t: (i, 0)),
-            pl.BlockSpec((1, c), lambda i, t: (i, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, t: (i, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, t: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, bh, w, c), lambda i, t: (i, t, 0, 0)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(x, a, b)
+    )(x, a[:, None, :], b[:, None, :])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
