@@ -75,9 +75,8 @@ import os as _os
 GN_STATS_IMPL = _os.environ.get('MOS_GN_STATS', 'onepass')
 
 
-def _gn_sums(x):
+def _gn_sums(x, impl):
     """Per-(batch, channel) fp32 (sum, sum-of-squares) over spatial axes."""
-    impl = GN_STATS_IMPL
     if impl == 'pallas' and x.ndim == 4 and jax.default_backend() == 'tpu':
         from mixofshow_tpu.ops.gn_stats import spatial_sums
         return spatial_sums(x)
@@ -95,7 +94,8 @@ def _gn_sums(x):
 
 
 def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5,
-               act: Optional[str] = None):
+               act: Optional[str] = None,
+               stats_impl: Optional[str] = None):
     """GroupNorm over NHWC (channels last), fp32 statistics.
 
     TPU-shaped: statistics reduce over the SPATIAL axes first (channels —
@@ -122,7 +122,8 @@ def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5,
     # 512^2 b4 decode. The square runs in the input dtype with an fp32
     # accumulator — bf16 squares carry 2^-9 relative error, below the
     # noise already in bf16 activations (fp32 inputs keep fp32 squares).
-    s, s2 = _gn_sums(x)                                          # (b, c)
+    impl = stats_impl or GN_STATS_IMPL
+    s, s2 = _gn_sums(x, impl)                                    # (b, c)
     mean_g = s.reshape(b, g, c // g).mean(axis=-1) / (h * w)   # (b, g)
     m2_g = s2.reshape(b, g, c // g).mean(axis=-1) / (h * w)    # (b, g)
     mean_c = jnp.repeat(mean_g, c // g, axis=-1)         # (b, c) fp32
@@ -131,7 +132,7 @@ def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5,
     # fold affine: out = x * a + bb, a/b computed fp32 on (b, c) only
     a = p['scale'].astype(jnp.float32)[None, :] * rstd_c
     bb = p['bias'].astype(jnp.float32)[None, :] - mean_c * a
-    if (GN_STATS_IMPL == 'pallas' and x.ndim == 4
+    if (impl == 'pallas' and x.ndim == 4
             and jax.default_backend() == 'tpu'):
         # one Pallas read+write: XLA's lowering of the broadcast affine
         # re-tiles through transposing elementwise fusions (~32 ms of the

@@ -22,6 +22,19 @@ from mixofshow_tpu.models.layers import (as_rng, conv2d, group_norm,
 
 EPS = 1e-6
 
+# GroupNorm statistics strategy for the VAE only (the UNet's GN fuses into
+# its convs already; the VAE's spatially-tiled resolutions are where the
+# XLA lowering pays ~90 ms of fp32 transposed copies per b4 512^2 decode —
+# docs/Performance.md round 3). None defers to layers.GN_STATS_IMPL.
+import os as _os
+VAE_GN_IMPL = _os.environ.get('MOS_VAE_GN') or None
+
+
+def _gn(p, x, groups, act=None):
+    from mixofshow_tpu.models.layers import group_norm
+    return group_norm(p, x, groups, eps=EPS, act=act,
+                      stats_impl=VAE_GN_IMPL)
+
 
 @dataclasses.dataclass(frozen=True)
 class VAEConfig:
@@ -120,9 +133,9 @@ def init_vae(rng, cfg: VAEConfig = VAEConfig(), dtype=jnp.float32):
 
 # ----------------------------------------------------------------- forward
 def _resnet(p, x, groups=32):
-    h = group_norm(p['norm1'], x, groups, eps=EPS, act='silu')
+    h = _gn(p['norm1'], x, groups, act='silu')
     h = conv2d(p['conv1'], h)
-    h = group_norm(p['norm2'], h, groups, eps=EPS, act='silu')
+    h = _gn(p['norm2'], h, groups, act='silu')
     h = conv2d(p['conv2'], h)
     if 'shortcut' in p:
         x = conv2d(p['shortcut'], x)
@@ -131,7 +144,7 @@ def _resnet(p, x, groups=32):
 
 def _attn(p, x, groups=32):
     b, h, w, c = x.shape
-    hid = group_norm(p['norm'], x, groups, eps=EPS)
+    hid = _gn(p['norm'], x, groups)
     if jax.default_backend() == 'tpu':
         # whole-processor Pallas kernel: the dense path materializes
         # (B, 1, HW, HW) fp32 logits — 268 MB at the 512^2 decode's 64^2
@@ -179,8 +192,7 @@ def vae_encode(params, images: jnp.ndarray,
     x = _resnet(m['resnet1'], x, cfg.norm_groups)
     x = _attn(m['attn'], x, cfg.norm_groups)
     x = _resnet(m['resnet2'], x, cfg.norm_groups)
-    x = group_norm(params['encoder']['norm_out'], x, cfg.norm_groups,
-                   eps=EPS, act='silu')
+    x = _gn(params['encoder']['norm_out'], x, cfg.norm_groups, act='silu')
     x = conv2d(params['encoder']['conv_out'], x)
     moments = conv2d(params['quant_conv'], x)
     mean, logvar = jnp.split(moments, 2, axis=-1)
@@ -212,6 +224,5 @@ def vae_decode(params, latents: jnp.ndarray,
                                  (b, h, 2, w, 2, c)).reshape(b, 2 * h,
                                                              2 * w, c)
             x = conv2d(stage['upsample'], x)
-    x = group_norm(params['decoder']['norm_out'], x, cfg.norm_groups,
-                   eps=EPS, act='silu')
+    x = _gn(params['decoder']['norm_out'], x, cfg.norm_groups, act='silu')
     return conv2d(params['decoder']['conv_out'], x)

@@ -343,6 +343,12 @@ def attention_packed_supported(sq: int, sk: int, c: int, cc: int,
     d = c // heads
     if d * heads != c or d > 512:
         return False
+    # short contexts: the one-block kernel launch loses to the dense XLA
+    # softmax (cross-attention's 77 keys measured 0.97 vs 0.20 ms at res-64,
+    # tools/bench_attn_block.py v5e) — same routing rule as
+    # flash_attention_supported
+    if sk < 1024:
+        return False
     sk_p = max(128, ((sk + 127) // 128) * 128)
     bq = _block_q(sq, sk_p)
     if bq * sk_p * 4 > 4 * 1024 * 1024:

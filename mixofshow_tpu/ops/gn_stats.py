@@ -108,7 +108,10 @@ def _apply_kernel(x_ref, a_ref, b_ref, o_ref, *, act: str):
     b = b_ref[0, 0].astype(dt)
     y = x_ref[0] * a[None, None, :] + b[None, None, :]
     if act == 'silu':
-        y = jax.nn.silu(y)
+        # silu in f32: Mosaic mis-lowers bf16 logistic here (vector.broadcast
+        # f32 scalar into a bf16 vector fails MLIR verification)
+        y32 = y.astype(jnp.float32)
+        y = (y32 * jax.nn.sigmoid(y32)).astype(dt)
     o_ref[0] = y
 
 
