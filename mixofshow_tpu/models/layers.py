@@ -132,13 +132,11 @@ def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5,
     # fold affine: out = x * a + bb, a/b computed fp32 on (b, c) only
     a = p['scale'].astype(jnp.float32)[None, :] * rstd_c
     bb = p['bias'].astype(jnp.float32)[None, :] - mean_c * a
-    if (impl == 'pallas' and x.ndim == 4
-            and jax.default_backend() == 'tpu'):
-        # one Pallas read+write: XLA's lowering of the broadcast affine
-        # re-tiles through transposing elementwise fusions (~32 ms of the
-        # b4 512^2 VAE decode, tools/profile_sampling.py round 3)
-        from mixofshow_tpu.ops.gn_stats import scale_bias_act
-        return scale_bias_act(x, a, bb, act or 'none')
+    # apply stays XLA even under impl='pallas': routing the affine through
+    # ops/gn_stats.scale_bias_act measured SLOWER (136.3 vs 122.3 ms b4
+    # decode, tools/bench_gn.py) — the kernel boundary blocks XLA from
+    # fusing the silu/affine into neighboring ops, while the stats kernel
+    # removes the truly unfusable cross-tile fp32 reduction copies.
     # pass 3: apply in activation dtype
     out = x * a.astype(x.dtype)[:, None, None, :] \
         + bb.astype(x.dtype)[:, None, None, :]

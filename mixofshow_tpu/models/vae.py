@@ -22,12 +22,15 @@ from mixofshow_tpu.models.layers import (as_rng, conv2d, group_norm,
 
 EPS = 1e-6
 
-# GroupNorm statistics strategy for the VAE only (the UNet's GN fuses into
-# its convs already; the VAE's spatially-tiled resolutions are where the
-# XLA lowering pays ~90 ms of fp32 transposed copies per b4 512^2 decode —
-# docs/Performance.md round 3). None defers to layers.GN_STATS_IMPL.
+# GroupNorm statistics strategy for the VAE only. Default 'pallas': the
+# VAE's spatially-tiled resolutions are where XLA's reduce lowering pays
+# ~58 ms of fp32 transposed copies per b4 512^2 decode — the one-read
+# stats kernel measures 165.7 -> 122.3 ms (tools/bench_gn.py, v5e). The
+# UNet keeps 'onepass': there GN statistics fuse into the conv epilogues,
+# and forcing the kernel measured 61.8 -> 67.4 ms per CFG-b8 eval
+# (docs/Performance.md round 3).
 import os as _os
-VAE_GN_IMPL = _os.environ.get('MOS_VAE_GN') or None
+VAE_GN_IMPL = _os.environ.get('MOS_VAE_GN', 'pallas') or None
 
 
 def _gn(p, x, groups, act=None):
