@@ -33,19 +33,19 @@ from mixofshow_tpu.pipelines.concepts import (NUM_CROSS_ATTENTION_LAYERS,
                                               bind_concept_prompt)
 from mixofshow_tpu.text.tokenizer import CLIPTokenizer
 
-# Route whole attention processors (QKV proj + softmax + out proj) to the
-# Pallas attention-block kernel (ops/fused_attention.py) on TPU. Opt-in:
-# isolated micro-benchmarks (tools/bench_attn_block.py, v5e) measured the
-# fused kernel SLOWER than the unfused dense-projection path at every SD1.5
-# sampling shape (worst: res-64 cross-attention 0.92 vs 0.20 ms — the
-# per-head q-projection runs at ~31% MXU utilization and the (b, q-block,
-# head) grid adds per-program overhead), so the default stays the unfused
-# path unless end-to-end measurement shows the in-context layout savings
-# outweigh that.
+# Attention-processor routing for the sampling path. Default 'packed'
+# (MOS_FUSE_ATTENTION=2): long-context self-attention runs through
+# ops/fused_attention.attention_packed — full-width XLA projections
+# against zero-padded weights + the packed flash kernel slicing
+# 128-aligned head columns — measured 1.146 -> 1.152 img/s serial and
+# 1.223 -> 1.240 pipelined end-to-end on v5e (docs/Performance.md r3).
+# '1' = the whole-processor attention_block kernel: measured SLOWER on
+# every UNet shape (padding flops at d=40 equal the layout tax it dodges;
+# end-to-end 0.94 img/s) — kept for measurement. '0' = plain mh_attention.
 import os as _os
 FUSE_ATTENTION = {'0': False, '1': True, '2': 'packed',
                   'packed': 'packed'}.get(
-    _os.environ.get('MOS_FUSE_ATTENTION', '0'), False)
+    _os.environ.get('MOS_FUSE_ATTENTION', '2'), False)
 
 
 @functools.partial(jax.jit, static_argnames=('ccfg',))
