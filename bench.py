@@ -282,9 +282,13 @@ def bench_sample():
     tok = CLIPTokenizer()
     cfg, table = init_concepts(tok, '<c1>+<c2>', None,
                                np.asarray(te['token_embedding']))
+    # BENCH_QUANT=int8 measures the opt-in quantized serving mode
+    # (ops/quant.py) — never the default (changes the math vs the
+    # reference's fp16 sampling)
     pipe = EDLoRAPipeline(unet, te, vae, tokenizer=tok,
                           unet_config=ucfg, text_config=ccfg, vae_config=vcfg,
-                          new_concept_cfg=cfg, concept_embedding=table)
+                          new_concept_cfg=cfg, concept_embedding=table,
+                          quantize=os.environ.get('BENCH_QUANT') or None)
 
     prompt = ['a photo of <c1> <c2> on a mountain'] * batch
     # compile; 'pil' is the reference pipeline's default output_type, so the

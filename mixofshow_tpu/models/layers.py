@@ -25,9 +25,18 @@ import numpy as np
 
 # ----------------------------------------------------------------- dense/conv
 def dense(p, x, lora=None, alpha: float | jnp.ndarray = 1.0):
-    """y = x @ kernel + bias, with optional LoRA delta."""
+    """y = x @ kernel + bias, with optional LoRA delta.
+
+    Trees built by ops.quant.quantize_unet carry int8 `wq` + fp32 `wscale`
+    next to `kernel`; their base matmul runs on the MXU's 2x int8 path with
+    dynamic per-token activation quantization (opt-in serving mode). The
+    LoRA delta still applies exactly in the activation dtype on top."""
     dt = x.dtype
-    y = jnp.dot(x, p['kernel'].astype(dt), preferred_element_type=dt)
+    if 'wq' in p:
+        from mixofshow_tpu.ops.quant import int8_matmul
+        y = int8_matmul(x, p['wq'], p['wscale'], dt)
+    else:
+        y = jnp.dot(x, p['kernel'].astype(dt), preferred_element_type=dt)
     if 'bias' in p:
         y = y + p['bias'].astype(dt)
     if lora is not None:

@@ -254,7 +254,7 @@ def mh_attention(p, x, context, heads: int, lora=None, alpha=1.0,
     b, s, c = x.shape
     d = c // heads
     if fuse and not return_probs and not return_pre_out \
-            and 'bias' not in p['to_q'] \
+            and 'bias' not in p['to_q'] and 'wq' not in p['to_q'] \
             and jax.default_backend() == 'tpu':
         from mixofshow_tpu.ops.fused_attention import (
             attention_block, attention_block_supported, attention_packed,

@@ -1,0 +1,78 @@
+"""Weight+activation int8 quantization for the serving dense pool.
+
+Opt-in serving mode (EDLoRAPipeline(quantize='int8')) — NOT part of the
+reference's surface (it samples fp16; SURVEY.md §6). Motivation: v5e's MXU
+runs int8 at 2x the bf16 rate (394 vs 197 T/s), and the sampling profile's
+dense pool (attention projections + GEGLU, ~18 ms of the 62 ms CFG step —
+docs/Performance.md) is the one pool whose floor that halves. The d=40
+attention floor itself is output-tile-bound, so the flash kernels stay bf16.
+
+Scheme (standard symmetric dynamic PTQ, as in SmoothQuant/Q-Diffusion-style
+serving stacks, built from scratch here):
+  * weights: per-output-channel symmetric int8, folded scale kept fp32;
+  * activations: dynamic per-token (per-row) absmax int8 at the matmul edge;
+  * accumulate int32 on the MXU, rescale once in fp32, emit bf16.
+
+Quantized tensors ride INSIDE the params tree next to the bf16 'kernel'
+(`wq`/`wscale` leaves): `layers.dense` routes on their presence, so every
+dense call site is quant-capable with no plumbing, and LoRA deltas still
+apply exactly in bf16 on top of the int8 base matmul (alpha sweeps keep
+working). Only trees built by `quantize_unet` carry these leaves.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ['quantize_dense', 'quantize_unet', 'int8_matmul']
+
+
+def int8_matmul(x: jnp.ndarray, wq: jnp.ndarray, wscale: jnp.ndarray,
+                out_dtype=None) -> jnp.ndarray:
+    """(…, in) x int8 (in, out) -> (…, out) with dynamic per-row activation
+    quantization. int32 MXU accumulation; one fused fp32 rescale."""
+    out_dtype = out_dtype or x.dtype
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = amax / 127.0 + 1e-12
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = jnp.dot(xq, wq, preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * (sx * wscale)).astype(out_dtype)
+
+
+def quantize_dense(p: dict) -> dict:
+    """Add per-output-channel int8 `wq` + fp32 `wscale` next to `kernel`."""
+    w = np.asarray(p['kernel'], np.float32)
+    wscale = np.abs(w).max(axis=0) / 127.0 + 1e-12
+    wq = np.clip(np.rint(w / wscale), -127, 127).astype(np.int8)
+    out = dict(p)
+    out['wq'] = wq
+    out['wscale'] = wscale.astype(np.float32)
+    return out
+
+
+# The transformer dense sites of the sampling profile's 18 ms pool.
+_ATTN_KEYS = ('to_q', 'to_k', 'to_v', 'to_out')
+_FF_KEYS = ('proj', 'out')
+
+
+def quantize_unet(params: dict) -> dict:
+    """Quantize every transformer attention projection and GEGLU linear in a
+    UNet params tree (host-side, numpy). Conv / norm / time-embedding leaves
+    pass through untouched — convs are a separate (unbuilt) int8 story and
+    the rest is bandwidth-bound."""
+    def walk(node, name=''):
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v, name) for v in node)
+        if not isinstance(node, dict):
+            return node
+        if name in ('attn1', 'attn2'):
+            return {k: (quantize_dense(v) if k in _ATTN_KEYS else
+                        walk(v, k)) for k, v in node.items()}
+        if name == 'ff':
+            return {k: (quantize_dense(v) if k in _FF_KEYS else
+                        walk(v, k)) for k, v in node.items()}
+        return {k: walk(v, k) for k, v in node.items()}
+
+    return walk(jax.tree.map(lambda x: np.asarray(x), params))

@@ -180,7 +180,8 @@ class EDLoRAPipeline:
                  concept_embedding=None,
                  unet_lora=None, text_lora=None, lora_alpha: float = 1.0,
                  mesh=None,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16,
+                 quantize: Optional[str] = None):
         # mesh: optional jax.sharding.Mesh — sampling batches are sharded
         # over its 'data' axis (params replicated), so validation sweeps
         # scale across chips (the reference distributes validation via
@@ -188,7 +189,16 @@ class EDLoRAPipeline:
         self.mesh = mesh
         self.dtype = dtype
         # pin weights on device once (host leaves would re-transfer per call)
-        self.unet_params = to_device(cast_floats(unet_params, dtype))
+        unet_params = cast_floats(unet_params, dtype)
+        if quantize == 'int8':
+            # opt-in int8 serving mode: transformer dense pool runs on the
+            # MXU's 2x int8 path (ops/quant.py); beyond the reference's
+            # surface, so never a default.
+            from mixofshow_tpu.ops.quant import quantize_unet
+            unet_params = quantize_unet(unet_params)
+        elif quantize is not None:
+            raise ValueError(f'unknown quantize mode: {quantize!r}')
+        self.unet_params = to_device(unet_params)
         self.text_encoder_params = to_device(
             cast_floats(text_encoder_params, dtype))
         self.vae_params = to_device(cast_floats(vae_params, dtype))
