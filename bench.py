@@ -229,7 +229,8 @@ def bench_regional(emit=True):
         init_unet(0, ucfg), te, init_vae(2, vcfg), tokenizer=tok,
         unet_config=ucfg, text_config=ccfg, vae_config=vcfg,
         new_concept_cfg=cfg,
-        keypose_adapter=init_t2i_adapter(3, kcfg), keypose_config=kcfg)
+        keypose_adapter=init_t2i_adapter(3, kcfg), keypose_config=kcfg,
+        quantize=os.environ.get('BENCH_QUANT') or None)
 
     # 3 near-full-height boxes, the reference demo layout
     prompt = [(

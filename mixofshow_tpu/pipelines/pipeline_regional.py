@@ -223,10 +223,20 @@ class RegionallyT2IAdapterPipeline:
                  keypose_config: T2IAdapterConfig = T2IAdapterConfig.keypose(),
                  sketch_adapter=None,
                  sketch_config: T2IAdapterConfig = T2IAdapterConfig.sketch(),
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16,
+                 quantize: Optional[str] = None):
         self.dtype = dtype
         # pin weights on device once (host leaves would re-transfer per call)
-        self.unet_params = to_device(cast_floats(unet_params, dtype))
+        unet_params = cast_floats(unet_params, dtype)
+        if quantize == 'int8':
+            # opt-in int8 serving mode (ops/quant.py) — same routing as
+            # EDLoRAPipeline; the region-rewrite override path is
+            # unaffected (it runs on the attn2 weights it is handed).
+            from mixofshow_tpu.ops.quant import quantize_unet
+            unet_params = quantize_unet(unet_params)
+        elif quantize is not None:
+            raise ValueError(f'unknown quantize mode: {quantize!r}')
+        self.unet_params = to_device(unet_params)
         self.text_encoder_params = to_device(
             cast_floats(text_encoder_params, dtype))
         self.vae_params = to_device(cast_floats(vae_params, dtype))

@@ -126,3 +126,38 @@ def test_pipeline_quantized_smoke():
         EDLoRAPipeline(init_unet(1, U), te, init_vae(2, V), tokenizer=tok,
                        unet_config=U, text_config=C, vae_config=V,
                        quantize='int4')
+
+
+def test_regional_pipeline_quantized_smoke():
+    """The regional pipeline shares the wq routing; the region-rewrite
+    override path computes its projections through layers.dense and so
+    inherits the int8 base matmuls."""
+    import dataclasses
+
+    from mixofshow_tpu.models.t2i_adapter import (T2IAdapterConfig,
+                                                  init_t2i_adapter)
+    from mixofshow_tpu.pipelines import (RegionallyT2IAdapterPipeline,
+                                         init_concepts)
+    from mixofshow_tpu.text import CLIPTokenizer
+    C = CLIPTextConfig(width=U.cross_attention_dim, layers=2, heads=2,
+                       mlp_dim=128, vocab_size=49408)
+    V = VAEConfig(block_out_channels=(16, 32, 32, 32), norm_groups=8)
+    tok = CLIPTokenizer()
+    te = init_clip_text(0, C)
+    cfg, table = init_concepts(tok, '<r1> <r2>', None,
+                               np.asarray(te['token_embedding']))
+    te = dict(te)
+    te['token_embedding'] = np.concatenate(
+        [np.asarray(te['token_embedding']), np.asarray(table)])
+    big_c = dataclasses.replace(C, vocab_size=49408 + 16)
+    pipe = RegionallyT2IAdapterPipeline(
+        init_unet(1, U), te, init_vae(2, V), tokenizer=tok,
+        unet_config=U, text_config=big_c, vae_config=V,
+        new_concept_cfg=cfg,
+        keypose_adapter=init_t2i_adapter(3, T2IAdapterConfig.tiny(3)),
+        keypose_config=T2IAdapterConfig.tiny(3),
+        dtype=jnp.float32, quantize='int8')
+    prompt = [('a scene', [('a <r1> <r2>', 'bad', [0.1, 0.1, 0.9, 0.5])])]
+    img = pipe(prompt, keypose_adapter_input=np.zeros((64, 64, 3), np.uint8),
+               height=64, width=64, num_inference_steps=2, seed=0)
+    assert img.shape == (1, 64, 64, 3) and np.isfinite(img).all()
