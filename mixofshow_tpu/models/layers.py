@@ -49,15 +49,21 @@ def dense(p, x, lora=None, alpha: float | jnp.ndarray = 1.0):
 def conv2d(p, x, stride: int = 1, padding='SAME', lora=None,
            alpha: float | jnp.ndarray = 1.0):
     """NHWC conv. LoRA (1x1 factorized) supported for 1x1 convs, matching the
-    reference's Conv2d LoRA branch (edlora.py:227-230)."""
+    reference's Conv2d LoRA branch (edlora.py:227-230). Trees built by
+    ops.quant.quantize_unet(convs=True) carry int8 `wq`/`wscale` leaves and
+    route to the MXU int8 conv (opt-in serving mode)."""
     dt = x.dtype
-    y = jax.lax.conv_general_dilated(
-        x, p['kernel'].astype(dt),
-        window_strides=(stride, stride),
-        padding=padding if isinstance(padding, str) else
-        [(padding, padding), (padding, padding)],
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-        preferred_element_type=dt)
+    if 'wq' in p:
+        from mixofshow_tpu.ops.quant import int8_conv
+        y = int8_conv(x, p['wq'], p['wscale'], stride, padding, dt)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, p['kernel'].astype(dt),
+            window_strides=(stride, stride),
+            padding=padding if isinstance(padding, str) else
+            [(padding, padding), (padding, padding)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            preferred_element_type=dt)
     if 'bias' in p:
         y = y + p['bias'].astype(dt)
     if lora is not None:

@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ['quantize_dense', 'quantize_unet', 'int8_matmul']
+__all__ = ['quantize_dense', 'quantize_conv', 'quantize_unet',
+           'int8_matmul', 'int8_conv']
 
 
 def int8_matmul(x: jnp.ndarray, wq: jnp.ndarray, wscale: jnp.ndarray,
@@ -41,6 +42,26 @@ def int8_matmul(x: jnp.ndarray, wq: jnp.ndarray, wscale: jnp.ndarray,
     return (acc.astype(jnp.float32) * (sx * wscale)).astype(out_dtype)
 
 
+def int8_conv(x: jnp.ndarray, wq: jnp.ndarray, wscale: jnp.ndarray,
+              stride, padding, out_dtype=None) -> jnp.ndarray:
+    """NHWC x int8 HWIO -> NHWC. Activation scale is per-IMAGE (one scalar
+    per batch element): a conv mixes neighboring pixels, so finer-grained
+    (per-pixel) scales would break the linearity the int32 accumulation
+    relies on."""
+    out_dtype = out_dtype or x.dtype
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)
+    sx = amax / 127.0 + 1e-12
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, window_strides=(stride, stride),
+        padding=padding if isinstance(padding, str) else
+        [(padding, padding), (padding, padding)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * (sx * wscale)).astype(out_dtype)
+
+
 def quantize_dense(p: dict) -> dict:
     """Add per-output-channel int8 `wq` + fp32 `wscale` next to `kernel`."""
     w = np.asarray(p['kernel'], np.float32)
@@ -52,16 +73,32 @@ def quantize_dense(p: dict) -> dict:
     return out
 
 
+def quantize_conv(p: dict) -> dict:
+    """Add per-output-channel int8 `wq` + fp32 `wscale` next to an HWIO
+    conv `kernel`."""
+    w = np.asarray(p['kernel'], np.float32)
+    wscale = np.abs(w).max(axis=(0, 1, 2)) / 127.0 + 1e-12
+    wq = np.clip(np.rint(w / wscale), -127, 127).astype(np.int8)
+    out = dict(p)
+    out['wq'] = wq
+    out['wscale'] = wscale.astype(np.float32)
+    return out
+
+
 # The transformer dense sites of the sampling profile's 18 ms pool.
 _ATTN_KEYS = ('to_q', 'to_k', 'to_v', 'to_out')
 _FF_KEYS = ('proj', 'out')
+# The resnet conv pool (~20 ms/eval at ~145 TF/s bf16). Shortcuts /
+# down/upsamplers / conv_in/conv_out stay bf16 (small, or quality-critical
+# edges of the graph).
+_CONV_KEYS = ('conv1', 'conv2')
 
 
-def quantize_unet(params: dict) -> dict:
+def quantize_unet(params: dict, convs: bool = False) -> dict:
     """Quantize every transformer attention projection and GEGLU linear in a
-    UNet params tree (host-side, numpy). Conv / norm / time-embedding leaves
-    pass through untouched — convs are a separate (unbuilt) int8 story and
-    the rest is bandwidth-bound."""
+    UNet params tree (host-side, numpy); `convs=True` additionally
+    quantizes the resnet 3x3 convs (mode 'int8+conv'). Norms /
+    time-embeddings pass through untouched — bandwidth-bound."""
     def walk(node, name=''):
         if isinstance(node, (list, tuple)):
             return type(node)(walk(v, name) for v in node)
@@ -72,6 +109,9 @@ def quantize_unet(params: dict) -> dict:
                         walk(v, k)) for k, v in node.items()}
         if name == 'ff':
             return {k: (quantize_dense(v) if k in _FF_KEYS else
+                        walk(v, k)) for k, v in node.items()}
+        if convs and 'conv1' in node and 'conv2' in node:  # a resnet block
+            return {k: (quantize_conv(v) if k in _CONV_KEYS else
                         walk(v, k)) for k, v in node.items()}
         return {k: walk(v, k) for k, v in node.items()}
 

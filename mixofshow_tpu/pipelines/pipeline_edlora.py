@@ -190,12 +190,13 @@ class EDLoRAPipeline:
         self.dtype = dtype
         # pin weights on device once (host leaves would re-transfer per call)
         unet_params = cast_floats(unet_params, dtype)
-        if quantize == 'int8':
+        if quantize in ('int8', 'int8+conv'):
             # opt-in int8 serving mode: transformer dense pool runs on the
             # MXU's 2x int8 path (ops/quant.py); beyond the reference's
             # surface, so never a default.
             from mixofshow_tpu.ops.quant import quantize_unet
-            unet_params = quantize_unet(unet_params)
+            unet_params = quantize_unet(unet_params,
+                                        convs=(quantize == 'int8+conv'))
         elif quantize is not None:
             raise ValueError(f'unknown quantize mode: {quantize!r}')
         self.unet_params = to_device(unet_params)

@@ -161,3 +161,40 @@ def test_regional_pipeline_quantized_smoke():
     img = pipe(prompt, keypose_adapter_input=np.zeros((64, 64, 3), np.uint8),
                height=64, width=64, num_inference_steps=2, seed=0)
     assert img.shape == (1, 64, 64, 3) and np.isfinite(img).all()
+
+
+def test_int8_conv_and_conv_mode():
+    from mixofshow_tpu.models.layers import conv2d
+    from mixofshow_tpu.ops.quant import int8_conv, quantize_conv
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+    p = {'kernel': rng.normal(size=(3, 3, 16, 12)).astype(np.float32),
+         'bias': rng.normal(size=(12,)).astype(np.float32)}
+    base = np.asarray(conv2d(p, x))
+    quant = np.asarray(conv2d(quantize_conv(p), x))
+    assert not np.allclose(base, quant, atol=1e-7)
+    rel = np.linalg.norm(base - quant) / np.linalg.norm(base)
+    assert rel < 0.05, rel
+
+    # int8+conv quantizes resnet convs on top of the dense pool
+    params = init_unet(0, U)
+    q = quantize_unet(params, convs=True)
+    convs = []
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if 'wq' in node and node['wq'].ndim == 4:
+                convs.append(path)
+            for k, v in node.items():
+                walk(v, path + (k,))
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                walk(v, path)
+    walk(q, ())
+    assert convs and all(p[-1] in ('conv1', 'conv2') for p in convs)
+    x = jnp.asarray(np.random.default_rng(6).normal(
+        size=(1, 16, 16, 4)).astype(np.float32))
+    ctx = jnp.asarray(np.random.default_rng(7).normal(
+        size=(1, 77, U.cross_attention_dim)).astype(np.float32))
+    out = np.asarray(unet_apply(q, x, jnp.asarray([5]), ctx, U)[0])
+    assert np.isfinite(out).all()
