@@ -46,6 +46,20 @@ def _remaining(budget):
     return budget - (time.time() - _T0)
 
 
+
+def _init_sd15():
+    """Deterministic SD1.5-size init trees, disk-cached (the host's
+    intermittent memory stalls make fresh init cost minutes — see
+    mixofshow_tpu/utils/initcache.py)."""
+    from mixofshow_tpu.models import (CLIPTextConfig, UNetConfig, VAEConfig,
+                                      init_clip_text, init_unet, init_vae)
+    from mixofshow_tpu.utils.initcache import cached_init
+    ucfg, ccfg, vcfg = UNetConfig.sd15(), CLIPTextConfig.sd15(), VAEConfig.sd15()
+    unet = cached_init('unet_sd15_s0_f32', lambda: init_unet(0, ucfg))
+    te = cached_init('clip_sd15_s1_f32', lambda: init_clip_text(1, ccfg))
+    vae = cached_init('vae_sd15_s2_f32', lambda: init_vae(2, vcfg))
+    return (ucfg, ccfg, vcfg), (unet, te, vae)
+
 def bench_train(emit=True):
     import jax
     import jax.numpy as jnp
@@ -63,9 +77,9 @@ def bench_train(emit=True):
                            'lora_cfg': {'rank': 4}},
           'unet': {'enable_tuning': True, 'lr': 1e-4,
                    'lora_cfg': {'rank': 4}}}
+    _, (unet, te, vae) = _init_sd15()
     trainer = EDLoRATrainer(
-        init_unet(0, UNetConfig.sd15()), init_clip_text(1, CLIPTextConfig.sd15()),
-        init_vae(2, VAEConfig.sd15()), tokenizer=CLIPTokenizer(),
+        unet, te, vae, tokenizer=CLIPTokenizer(),
         new_concept_token='<c1>+<c2>',
         initializer_token='<rand-0.013>+<rand-0.017>',
         finetune_cfg=ft, noise_offset=0.01, attn_reg_weight=0.01,
@@ -140,8 +154,7 @@ def bench_fusion(emit=True):
 
     size = int(os.environ.get('BENCH_FUSION_SIZE', '512'))
     steps = int(os.environ.get('BENCH_FUSION_STEPS', '20'))
-    ucfg, ccfg, vcfg = UNetConfig.sd15(), CLIPTextConfig.sd15(), VAEConfig.sd15()
-    unet, te, vae = init_unet(0, ucfg), init_clip_text(1, ccfg), init_vae(2, vcfg)
+    (ucfg, ccfg, vcfg), (unet, te, vae) = _init_sd15()
     tok = CLIPTokenizer()
     ft = {'text_embedding': {'enable_tuning': True, 'lr': 1e-3},
           'text_encoder': {'enable_tuning': True, 'lr': 1e-5,
@@ -215,9 +228,8 @@ def bench_regional(emit=True):
     width = int(os.environ.get('BENCH_WIDTH', '2048'))
     steps = int(os.environ.get('BENCH_STEPS', '50'))
 
-    ucfg, ccfg, vcfg = UNetConfig.sd15(), CLIPTextConfig.sd15(), VAEConfig.sd15()
+    (ucfg, ccfg, vcfg), (unet, te, vae) = _init_sd15()
     tok = CLIPTokenizer()
-    te = init_clip_text(1, ccfg)
     names = '<potter1> <potter2>+<hermione1> <hermione2>+<thanos1> <thanos2>'
     cfg, table = init_concepts(tok, names, None,
                                np.asarray(te['token_embedding']))
@@ -225,11 +237,14 @@ def bench_regional(emit=True):
     te['token_embedding'] = np.concatenate(
         [np.asarray(te['token_embedding']), table])
     kcfg = T2IAdapterConfig.keypose()
+    from mixofshow_tpu.utils.initcache import cached_init
+    kadapter = cached_init('t2i_keypose_s3_f32',
+                           lambda: init_t2i_adapter(3, kcfg))
     pipe = RegionallyT2IAdapterPipeline(
-        init_unet(0, ucfg), te, init_vae(2, vcfg), tokenizer=tok,
+        unet, te, vae, tokenizer=tok,
         unet_config=ucfg, text_config=ccfg, vae_config=vcfg,
         new_concept_cfg=cfg,
-        keypose_adapter=init_t2i_adapter(3, kcfg), keypose_config=kcfg,
+        keypose_adapter=kadapter, keypose_config=kcfg,
         quantize=os.environ.get('BENCH_QUANT') or None)
 
     # 3 near-full-height boxes, the reference demo layout
@@ -276,10 +291,7 @@ def bench_sample():
     steps = int(os.environ.get('BENCH_STEPS', '50'))
     size = int(os.environ.get('BENCH_SIZE', '512'))
 
-    ucfg, ccfg, vcfg = UNetConfig.sd15(), CLIPTextConfig.sd15(), VAEConfig.sd15()
-    unet = init_unet(0, ucfg)
-    te = init_clip_text(1, ccfg)
-    vae = init_vae(2, vcfg)
+    (ucfg, ccfg, vcfg), (unet, te, vae) = _init_sd15()
     tok = CLIPTokenizer()
     cfg, table = init_concepts(tok, '<c1>+<c2>', None,
                                np.asarray(te['token_embedding']))
