@@ -63,8 +63,6 @@ def _init_sd15():
 def bench_train(emit=True):
     import jax
     import jax.numpy as jnp
-    from mixofshow_tpu.models import (CLIPTextConfig, UNetConfig, VAEConfig,
-                                      init_clip_text, init_unet, init_vae)
     from mixofshow_tpu.pipelines.concepts import bind_concept_prompt
     from mixofshow_tpu.pipelines.trainer_edlora import (EDLoRATrainer,
                                                         make_optimizer)
@@ -143,8 +141,6 @@ def bench_fusion(emit=True):
     import shutil
     import tempfile
 
-    from mixofshow_tpu.models import (CLIPTextConfig, UNetConfig, VAEConfig,
-                                      init_clip_text, init_unet, init_vae)
     from mixofshow_tpu.convert.delta_io import save_edlora_delta
     from mixofshow_tpu.fusion import compose_concepts
     from mixofshow_tpu.pipelines.trainer_edlora import (EDLoRATrainer,
@@ -216,8 +212,6 @@ def bench_fusion(emit=True):
 
 def bench_regional(emit=True):
     import jax.numpy as jnp
-    from mixofshow_tpu.models import (CLIPTextConfig, UNetConfig, VAEConfig,
-                                      init_clip_text, init_unet, init_vae)
     from mixofshow_tpu.models.t2i_adapter import (T2IAdapterConfig,
                                                   init_t2i_adapter)
     from mixofshow_tpu.pipelines import (RegionallyT2IAdapterPipeline,
@@ -279,8 +273,6 @@ def bench_regional(emit=True):
 
 
 def bench_sample():
-    from mixofshow_tpu.models import (CLIPTextConfig, UNetConfig, VAEConfig,
-                                      init_clip_text, init_unet, init_vae)
     from mixofshow_tpu.pipelines import EDLoRAPipeline, init_concepts
     from mixofshow_tpu.text import CLIPTokenizer
 
