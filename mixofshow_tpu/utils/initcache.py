@@ -14,9 +14,43 @@ measure exactly the same compute.
 import os
 import pickle
 
+import numpy as np
+
 __all__ = ['cached_init']
 
 _DIR = os.environ.get('MOS_INIT_CACHE', '/tmp/mos_init_cache')
+
+try:
+    import ml_dtypes
+    _BF16 = np.dtype(ml_dtypes.bfloat16)
+except Exception:  # pragma: no cover
+    _BF16 = None
+
+
+class _BF16Leaf:
+    """bfloat16 ndarrays unpickle ~50x slower than native dtypes (measured
+    139 s vs 2.8 s for same-tree loads — ml_dtypes arrays take pickle's
+    slow element path); store them as uint16 views instead."""
+
+    __slots__ = ('u16',)
+
+    def __init__(self, u16):
+        self.u16 = u16
+
+
+def _pack(tree):
+    import jax
+    return jax.tree.map(
+        lambda x: _BF16Leaf(np.asarray(x).view(np.uint16))
+        if _BF16 is not None and getattr(x, 'dtype', None) == _BF16 else x,
+        tree)
+
+
+def _unpack(tree):
+    import jax
+    return jax.tree.map(
+        lambda x: x.u16.view(_BF16) if isinstance(x, _BF16Leaf) else x,
+        tree, is_leaf=lambda x: isinstance(x, _BF16Leaf))
 
 
 def cached_init(key: str, builder):
@@ -24,7 +58,7 @@ def cached_init(key: str, builder):
     path = os.path.join(_DIR, f'{key}.pkl')
     try:
         with open(path, 'rb') as f:
-            return pickle.load(f)
+            return _unpack(pickle.load(f))
     except Exception:
         pass
     value = builder()
@@ -32,7 +66,7 @@ def cached_init(key: str, builder):
         os.makedirs(_DIR, exist_ok=True)
         tmp = f'{path}.{os.getpid()}.tmp'
         with open(tmp, 'wb') as f:
-            pickle.dump(value, f, protocol=4)
+            pickle.dump(_pack(value), f, protocol=4)
         os.replace(tmp, path)
     except Exception:
         pass  # cache is best-effort; the value is still correct
