@@ -186,11 +186,17 @@ def _regional_sample_loop(unet_params, prompt_embeds, region_list,
         # unet_apply keys its internal dtype off the sample dtype
         latent_in = latent_in.astype(prompt_embeds.dtype)
         t = coeffs.timestep[i]
+        # same packed-flash self-attention routing as EDLoRAPipeline (one
+        # knob, MOS_FUSE_ATTENTION) — at the regional demo's 32768-token
+        # top level the long-context condition is met on 11 of 16 layers;
+        # cross-attention runs through the region override regardless
+        from mixofshow_tpu.pipelines.pipeline_edlora import FUSE_ATTENTION
         eps, _ = unet_apply(unet_params, latent_in,
                             jnp.broadcast_to(t, (latent_in.shape[0],)),
                             prompt_embeds, ucfg,
                             adapter_features=adapter_features,
-                            cross_attn_override=override)
+                            cross_attn_override=override,
+                            fuse_attention=FUSE_ATTENTION)
         eps = eps.astype(jnp.float32)
         if use_cfg:
             eps_u, eps_c = jnp.split(eps, 2)
