@@ -2,10 +2,18 @@
 
 Opt-in serving mode (EDLoRAPipeline(quantize='int8')) — NOT part of the
 reference's surface (it samples fp16; SURVEY.md §6). Motivation: v5e's MXU
-runs int8 at 2x the bf16 rate (394 vs 197 T/s), and the sampling profile's
-dense pool (attention projections + GEGLU, ~18 ms of the 62 ms CFG step —
-docs/Performance.md) is the one pool whose floor that halves. The d=40
-attention floor itself is output-tile-bound, so the flash kernels stay bf16.
+advertises int8 at 2x the bf16 rate (394 vs 197 T/s), and the sampling
+profile's dense pool (attention projections + GEGLU, ~18 ms of the 62 ms
+CFG step — docs/Performance.md) is the one pool whose floor that halves.
+The d=40 attention floor itself is output-tile-bound, so the flash kernels
+stay bf16.
+
+MEASURED VERDICT (v5e, tools/bench_int8.py + end-to-end A/B): XLA:TPU
+reaches only 1.2-1.5x bf16 on pure int8 dots at these shapes, and the
+dynamic-quant round trip makes the small/output-side projections LOSE
+(proj d=320: 67 vs 92 T/s bf16); end-to-end sampling measured 1.078 vs
+1.173 img/s serial (-8%). Serve bf16 on v5e — this mode is kept as the
+measured record and for hardware with a wider int8 path (docs/Serving.md).
 
 Scheme (standard symmetric dynamic PTQ, as in SmoothQuant/Q-Diffusion-style
 serving stacks, built from scratch here):
