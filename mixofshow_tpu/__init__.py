@@ -21,3 +21,13 @@ Layout:
 """
 
 __version__ = '0.1.0'
+
+# Persistent XLA compilation cache for every entry point (CLIs, bench,
+# driver compile-check, tests). SD1.5-size programs cost minutes of compile
+# per process; cached executables re-load in milliseconds — verified over
+# both the remote-TPU plugin and CPU. Opt out with MOS_XLA_CACHE=0.
+# Config-only at import time: no backend is initialized here.
+from mixofshow_tpu.utils.xla_cache import enable_persistent_cache as _epc
+
+_epc()
+del _epc
