@@ -60,6 +60,38 @@ def whitespace_clean(text: str) -> str:
     return re.sub(r'\s+', ' ', text).strip()
 
 
+_CJK_RANGES = (
+    (0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0x20000, 0x2A6DF),
+    (0x2A700, 0x2B73F), (0x2B740, 0x2B81F), (0x2B820, 0x2CEAF),
+    (0xF900, 0xFAFF), (0x2F800, 0x2FA1F))
+
+
+def basic_clean(text: str) -> str:
+    """transformers CLIPTokenizer's input canonicalization.
+
+    The reference env pins `transformers` WITHOUT ftfy
+    (reference requirements.txt:3), so its tokenizer takes the
+    BasicTokenizer(strip_accents=False, do_split_on_punc=False) path:
+    strip control chars, space out CJK characters (each becomes its own
+    word, so each gets its own </w>), and NFC-normalize. Verified
+    id-identical against the installed transformers CLIPTokenizer in
+    tests/test_tokenizer.py::test_matches_transformers_clip_tokenizer."""
+    import unicodedata
+    out = []
+    for ch in text:
+        cp = ord(ch)
+        if cp == 0 or cp == 0xFFFD:
+            continue
+        cat = unicodedata.category(ch)
+        if cat.startswith('C') and ch not in '\t\n\r':
+            continue
+        if any(lo <= cp <= hi for lo, hi in _CJK_RANGES):
+            out.append(f' {ch} ')
+        else:
+            out.append(ch)
+    return unicodedata.normalize('NFC', ''.join(out))
+
+
 _PAT = re.compile(
     r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
     r"""[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
@@ -193,7 +225,7 @@ class CLIPTokenizer:
 
     def _encode_text(self, text: str) -> List[int]:
         """BPE-encode one chunk of plain text (no added tokens inside)."""
-        text = whitespace_clean(text).lower()
+        text = whitespace_clean(basic_clean(text)).lower()
         ids: List[int] = []
         for token in _PAT.findall(text):
             if self._fallback:

@@ -7,31 +7,56 @@ by (HLO, compile options, platform) — verified working over this
 environment's remote-TPU ('axon') PJRT plugin AND the CPU backend:
 a fresh process re-loads an SD-sized executable in milliseconds.
 
-Enabled by every entry point (bench.py, __graft_entry__, the four CLIs,
-tests/conftest.py). Cache location: $MOS_XLA_CACHE (default
-/tmp/mos_xla_cache); set MOS_XLA_CACHE=0 to disable. Correctness is
-unaffected: the cache key covers the full HLO module, so any code or shape
-change recompiles.
+Enabled from ``mixofshow_tpu/__init__.py``, hence active for every entry
+point that imports the package (bench.py, __graft_entry__, the four CLIs,
+tests). Cache location: $MOS_XLA_CACHE (default: a per-user dir under the
+system tempdir); set MOS_XLA_CACHE=0 to disable. An explicit user/env JAX
+cache configuration (jax_compilation_cache_dir already set, e.g. via
+JAX_COMPILATION_CACHE_DIR) always wins — the package default is skipped.
+Correctness is unaffected: the cache key covers the full HLO module, so any
+code or shape change recompiles.
 """
+import logging
 import os
+import tempfile
 
 __all__ = ['enable_persistent_cache']
 
-_DEFAULT = '/tmp/mos_xla_cache'
+logger = logging.getLogger(__name__)
+
+
+def _default_dir() -> str:
+    # Per-user path: a world-shared fixed /tmp name invites permission
+    # failures and cache poisoning on multi-user hosts.
+    try:
+        uid = f'_{os.getuid()}'
+    except AttributeError:  # non-POSIX
+        uid = ''
+    return os.path.join(tempfile.gettempdir(), f'mos_xla_cache{uid}')
 
 
 def enable_persistent_cache(path: str = None) -> bool:
     """Point JAX at a persistent compilation cache dir. Best-effort:
-    returns False (and changes nothing) if disabled or unsupported."""
-    path = path or os.environ.get('MOS_XLA_CACHE', _DEFAULT)
+    returns False (and changes nothing) if disabled, unsupported, or if the
+    user already configured a JAX compilation cache themselves."""
+    path = path or os.environ.get('MOS_XLA_CACHE') or _default_dir()
     if not path or path == '0':
         return False
     try:
         import jax
+
+        # An explicit user configuration (jax.config call or
+        # JAX_COMPILATION_CACHE_DIR env) wins over the package default.
+        if getattr(jax.config, 'jax_compilation_cache_dir', None):
+            return True
         jax.config.update('jax_compilation_cache_dir', path)
         # SD-size programs all compile in >>1s; the default 1s floor also
         # keeps tiny test programs from flooding the dir on CPU.
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
         return True
-    except Exception:
+    except Exception as e:
+        # Breadcrumb: a silent failure here means every run silently repays
+        # the 10-25 min compile.
+        logger.warning('persistent XLA cache not enabled (%s: %s)',
+                       type(e).__name__, e)
         return False

@@ -170,3 +170,102 @@ def test_fallback_golden_vectors():
     np.testing.assert_array_equal(ids[0], golden_first)
     np.testing.assert_array_equal(ids[1][:2], [49406, 49407])
     assert ids[0, 1] == ids[0, 4]  # same word, same id
+
+
+def _build_full_bytelevel_vocab(tmp_path, seed=11, n_merges=300):
+    """A CLIP-shaped vocab/merges pair: all 256 byte symbols (+ '</w>'
+    variants), randomized letter merges, filler to exactly 49408 ids with
+    <|startoftext|>/<|endoftext|> at 49406/49407 — same layout as the real
+    openai/clip-vit-large-patch14 files, so both libraries agree on
+    bos/eos/pad ids and every added token lands at 49408+k."""
+    import json
+    import random
+
+    from mixofshow_tpu.text.tokenizer import bytes_to_unicode
+
+    b2u = bytes_to_unicode()
+    syms = list(b2u.values())
+    vocab_tokens = syms + [s + '</w>' for s in syms]
+    rng = random.Random(seed)
+    letters = [b2u[ord(c)] for c in 'abcdefghijklmnopqrstuvwxyz']
+    pool = letters + [s + '</w>' for s in letters]
+    merges, seen = [], set()
+    while len(merges) < n_merges:
+        a = rng.choice([s for s in pool if not s.endswith('</w>')])
+        b = rng.choice(pool)
+        if (a, b) in seen or len(a + b) > 14:
+            continue
+        seen.add((a, b))
+        merges.append((a, b))
+        pool.append(a + b)
+        if a + b not in vocab_tokens:
+            vocab_tokens.append(a + b)
+    vocab_tokens += [f'[fill{i}]' for i in
+                     range(CLIP_VOCAB_SIZE - 2 - len(vocab_tokens))]
+    vocab_tokens += ['<|startoftext|>', '<|endoftext|>']
+    vocab = {t: i for i, t in enumerate(vocab_tokens)}
+    assert len(vocab) == CLIP_VOCAB_SIZE
+    (tmp_path / 'vocab.json').write_text(
+        json.dumps(vocab, ensure_ascii=False), encoding='utf-8')
+    (tmp_path / 'merges.txt').write_text(
+        '\n'.join(['#version: 0.2'] + [f'{a} {b}' for a, b in merges]),
+        encoding='utf-8')
+
+
+def test_matches_transformers_clip_tokenizer(tmp_path):
+    """Cross-LIBRARY parity: identical ids vs the installed
+    transformers.CLIPTokenizer (the exact class the reference loads,
+    trainer_edlora.py:39) on a constructed full-size byte-level vocab —
+    punctuation, unicode/CJK, contractions, digits, specials, added concept
+    tokens, and the padded (B, 77) __call__ surface."""
+    import random
+    import string
+
+    from transformers import CLIPTokenizer as HFCLIPTokenizer
+
+    _build_full_bytelevel_vocab(tmp_path)
+    hf = HFCLIPTokenizer(str(tmp_path / 'vocab.json'),
+                         str(tmp_path / 'merges.txt'))
+    mine = CLIPTokenizer(str(tmp_path))
+    assert not mine._fallback
+    assert (hf.bos_token_id, hf.eos_token_id, hf.pad_token_id) == (
+        BOS_TOKEN_ID, EOS_TOKEN_ID, mine.pad_token_id)
+
+    texts = [
+        'a photo of a dog',
+        "it's 3 dogs, blue-ish!",
+        "we'll I'M you're THEY'VE he'd can't",
+        'héllo wörld — café naïve',
+        'emoji 🐶 and 🔥 fire',
+        '24 cats & 7 dogs!!',
+        'x<|endoftext|>y',
+        '   lots   of \t whitespace \n here ',
+        'unicode: 日本語 テスト',   # CJK: per-char words via basic_clean
+        'don’t stop',
+        'a-b_c.d/e\\f @#$%',
+    ]
+    rng = random.Random(3)
+    charset = string.ascii_letters + "0123456789'!,.-—é日🐱"
+    for _ in range(80):
+        texts.append(' '.join(
+            ''.join(rng.choice(charset)
+                    for _ in range(rng.randint(1, 10)))
+            for _ in range(rng.randint(1, 12))))
+
+    for t in texts:
+        assert (hf.encode(t, add_special_tokens=False)
+                == mine.encode(t, add_special_tokens=False)), t
+
+    # full padded batch surface (what the pipelines feed the device)
+    batch = texts[:8]
+    got = mine(batch)
+    want = np.asarray(hf(batch, padding='max_length', max_length=77,
+                         truncation=True)['input_ids'], np.int32)
+    np.testing.assert_array_equal(got, want)
+
+    # added concept tokens: same ids, same longest-first matching
+    names = ['<new0>', '<new1>', '<new12>']
+    assert hf.add_tokens(names) == mine.add_tokens(names) == 3
+    for t in ['a <new12> and <new0> here', '<new1>x<new12>']:
+        assert (hf.encode(t, add_special_tokens=False)
+                == mine.encode(t, add_special_tokens=False)), t
