@@ -247,11 +247,25 @@ class EDLoRATrainer:
         """The non-trainable model weights, passed to the compiled step
         (device-pinned once — host leaves would re-transfer every step)."""
         if getattr(self, '_frozen_device', None) is None:
+            import jax as _jax
+            tree = {'unet': self.unet_params,
+                    'text_encoder': self.text_encoder_params,
+                    'vae': self.vae_params}
+            # First access can happen INSIDE a trace (loss_fn's
+            # `frozen or self.frozen_params` fallback under jit/grad):
+            # device_put then yields tracers, which must not be cached —
+            # they'd escape the trace and poison every later call. Return
+            # the host tree (becomes compile-time constants, fine for the
+            # small-model paths that omit `frozen`) and cache nothing.
+            if any(isinstance(x, _jax.core.Tracer)
+                   for x in _jax.tree.leaves(tree)):
+                return tree
             from mixofshow_tpu.models.layers import to_device
-            self._frozen_device = to_device(
-                {'unet': self.unet_params,
-                 'text_encoder': self.text_encoder_params,
-                 'vae': self.vae_params})
+            placed = to_device(tree)
+            if any(isinstance(x, _jax.core.Tracer)
+                   for x in _jax.tree.leaves(placed)):
+                return tree
+            self._frozen_device = placed
         return self._frozen_device
 
     # -------------------------------------------------------------- states

@@ -149,6 +149,48 @@ def test_data_parallel_step_matches_single(trainer):
 
 
 @pytest.mark.slow
+def test_model_axis_mesh_matches_single(trainer):
+    """A NON-trivial 'model' axis — make_mesh(8, model_parallel=2), a (4,2)
+    grid — must leave the train step and the fusion batched solve
+    numerically identical to single-device (the batch shards over the
+    4-wide 'data' axis; params/updates replicate over the 2-wide 'model'
+    axis; the solve's layer batch shards over both axes flattened).
+    SURVEY §2C's plumbed-but-unexercised axis (VERDICT r3 weak #5)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mixofshow_tpu.ops.solve import _batched_solve
+
+    mesh = make_mesh(8, model_parallel=2)
+    assert mesh.shape == {'data': 4, 'model': 2}
+
+    opt = make_optimizer(FINETUNE, total_steps=10)
+    step = trainer.make_train_step(opt)
+    batch = make_batch(trainer, b=8)
+    single, _ = step(trainer.init_state(opt), batch, jax.random.PRNGKey(5))
+    sharded, _ = step(trainer.init_state(opt), shard_batch(mesh, batch),
+                      jax.random.PRNGKey(5))
+    np.testing.assert_allclose(
+        np.asarray(single.trainable['concept_embedding']),
+        np.asarray(sharded.trainable['concept_embedding']), atol=1e-5)
+
+    # fusion's batched least-squares: 8 layers over the flattened (4,2) grid
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(8, 32, 16)).astype(np.float32)
+    g = np.einsum('lnf,lng->lfg', x, x)
+    w = rng.normal(size=(8, 16, 8)).astype(np.float32)
+    d = np.einsum('lfg,lgo->lfo', g, w)
+    sh = NamedSharding(mesh, P(('data', 'model')))
+    solved = _batched_solve(jax.device_put(g, sh), jax.device_put(d, sh),
+                            jax.device_put(np.zeros_like(w), sh),
+                            np.float32(1e-6), np.float32(1e-6))
+    ref = _batched_solve(jnp.asarray(g), jnp.asarray(d),
+                         jnp.zeros_like(jnp.asarray(w)),
+                         np.float32(1e-6), np.float32(1e-6))
+    np.testing.assert_allclose(np.asarray(solved), np.asarray(ref),
+                               atol=1e-4)
+
+
+@pytest.mark.slow
 def test_delta_roundtrip(trainer):
     opt = make_optimizer(FINETUNE, total_steps=10)
     state = trainer.init_state(opt)
