@@ -247,6 +247,7 @@ def bench_fusion(emit=True, size=None, steps=None):
         **_device_info()}
     if emit:
         print(json.dumps(rec))
+    _record_prior('fusion', rec)
     return rec
 
 
@@ -310,33 +311,34 @@ def bench_regional(emit=True):
         **_device_info()}
     if emit:
         print(json.dumps(rec))
-    _record_regional(rec)
+    _record_prior('regional', rec)
     return rec
 
 
-_REGIONAL_LAST = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              'BENCH_regional_last.json')
+def _prior_path(name):
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        f'BENCH_{name}_last.json')
 
 
-def _record_regional(rec):
-    """Persist the latest regional on-chip number so the driver's enriched
-    record can carry the reference's flagship workload
-    (regionally_sample.sh:48-90) machine-readably every round, even when the
-    driver run itself has no budget for the 30 s/image demo shape
-    (VERDICT r3 item 7)."""
+def _record_prior(name, rec):
+    """Persist the latest on-chip number for a sub-bench too expensive to
+    re-run inside every driver budget (regional: 30 s/image demo shape,
+    VERDICT r3 item 7; fusion: 704 s measured cold through the remote
+    compile service, r4). The driver's enriched record then carries the
+    most recent measurement machine-readably every round."""
     try:
         out = dict(rec)
         out['measured_at'] = time.strftime('%Y-%m-%dT%H:%M:%SZ',
                                            time.gmtime())
-        with open(_REGIONAL_LAST, 'w') as f:
+        with open(_prior_path(name), 'w') as f:
             json.dump(out, f, indent=1)
     except OSError:
         pass
 
 
-def _prior_regional():
+def _prior(name):
     try:
-        with open(_REGIONAL_LAST) as f:
+        with open(_prior_path(name)) as f:
             return json.load(f)
     except (OSError, ValueError):
         return None
@@ -424,12 +426,17 @@ def main():
 
     budget = float(os.environ.get('BENCH_BUDGET', '900'))
     record = bench_sample()
-    prior = _prior_regional()
-    if prior is not None:
-        # the reference's flagship regional workload, measured on chip by the
-        # most recent BENCH_MODE=regional run (30 s/image at the demo shape —
-        # too big to re-run inside the driver budget every round)
-        record['regional_prior'] = prior
+    for name, why in (
+            ('regional', 'the reference flagship workload, 30 s/image at '
+                         'the 1024x2048/3-region demo shape'),
+            ('fusion', 'measured 704 s cold through the remote compile '
+                       'service even at the shrunk driver workload')):
+        prior = _prior(name)
+        if prior is not None:
+            # most recent on-chip measurement by a standalone
+            # BENCH_MODE=<name> run — too big to re-run inside every driver
+            # budget (reason: see `why` above)
+            record[f'{name}_prior'] = prior
     # print the headline line IMMEDIATELY (the driver parses the last line;
     # if a later sub-bench dies or the budget expires this line is still on
     # record), then re-print enriched after each sub-bench. Each sub-bench
@@ -460,15 +467,21 @@ def main():
     # fusion wall-clock (BASELINE.md metric 3). Driver-mode runs a SHRUNK
     # workload (256 px / 5 spatial steps, labeled in the metric string): the
     # full 512/20 compose cold-compiles through the remote compile service
-    # and blew the driver limit twice (rc=124 in r2+r3). The full-size
-    # number comes from a standalone BENCH_MODE=fusion run.
+    # and blew the driver limit twice (rc=124 in r2+r3). Even the shrunk
+    # workload measured 704 s COLD (r4 dress rehearsal) — so the guard
+    # demands that much headroom unless the persistent XLA cache is warm
+    # for these shapes, and the fusion_prior above keeps the most recent
+    # real measurement in the record when the attempt is skipped.
     fsize = int(os.environ.get('BENCH_FUSION_SIZE', '256'))
     fsteps = int(os.environ.get('BENCH_FUSION_STEPS', '5'))
+    fmin = float(os.environ.get('BENCH_FUSION_MIN', '750'))
     if os.environ.get('BENCH_SKIP_FUSION') == '1':
         record['fusion_skipped'] = 'BENCH_SKIP_FUSION=1'
-    elif _remaining(budget) < float(os.environ.get('BENCH_FUSION_MIN', '240')):
+    elif _remaining(budget) < fmin:
         record['fusion_skipped'] = (
-            f'budget: {_remaining(budget):.0f}s remaining')
+            f'budget: {_remaining(budget):.0f}s remaining < {fmin:.0f}s '
+            '(measured cold cost of the shrunk compose; see fusion_prior '
+            'for the most recent real measurement)')
     else:
         record['fusion_state'] = (
             f'started ({fsize}px/{fsteps}-step driver workload) at '

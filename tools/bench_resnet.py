@@ -62,6 +62,53 @@ def main():
     no_gn_stats.__name__ = 'no_gn_stats'
     cases['no_gn_stats'] = (jax.jit(no_gn_stats), (params, x, temb))
 
+    # NCHW-internal chain (VERDICT r4 lever A): transpose once at the chain
+    # boundary, run every conv with ('NCHW','OIHW','NCHW') dimension
+    # numbers, GN reduces over (2,3). If XLA's inter-conv layout transitions
+    # are NHWC-induced, this chain should show it; if TPU lowering
+    # normalizes both to the same internal layout, it measures neutral.
+    params_nchw = jax.tree.map(lambda a: a, params)
+    for p in params_nchw:
+        for k in ('conv1', 'conv2'):
+            p[k] = dict(p[k], w=jnp.transpose(p[k]['w'], (3, 2, 0, 1)))
+
+    def chain_nchw(params, x, temb):
+        x = jnp.transpose(x, (0, 3, 1, 2))
+        for p in params:
+            # groups=32 GN in NCHW: reshape (b, g, c/g, h, w)
+            b_, c_, h_, w_ = x.shape
+            xg = x.reshape(b_, 32, c_ // 32, h_, w_)
+            m = xg.mean((2, 3, 4), keepdims=True)
+            v = ((xg - m) ** 2).mean((2, 3, 4), keepdims=True)
+            hN = ((xg - m) * jax.lax.rsqrt(v + 1e-5)).reshape(x.shape)
+            hN = jax.nn.silu(
+                hN * p['norm1']['scale'][None, :, None, None]
+                + p['norm1']['bias'][None, :, None, None])
+            hN = jax.lax.conv_general_dilated(
+                hN, p['conv1']['w'], (1, 1), 'SAME',
+                dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
+                preferred_element_type=jnp.bfloat16) \
+                + p['conv1']['b'][None, :, None, None]
+            t = dense(p['time_emb_proj'], jax.nn.silu(temb))
+            hN = hN + t[:, :, None, None]
+            b_, c_, h_, w_ = hN.shape
+            xg = hN.reshape(b_, 32, c_ // 32, h_, w_)
+            m = xg.mean((2, 3, 4), keepdims=True)
+            v = ((xg - m) ** 2).mean((2, 3, 4), keepdims=True)
+            h2 = ((xg - m) * jax.lax.rsqrt(v + 1e-5)).reshape(hN.shape)
+            h2 = jax.nn.silu(
+                h2 * p['norm2']['scale'][None, :, None, None]
+                + p['norm2']['bias'][None, :, None, None])
+            h2 = jax.lax.conv_general_dilated(
+                h2, p['conv2']['w'], (1, 1), 'SAME',
+                dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
+                preferred_element_type=jnp.bfloat16) \
+                + p['conv2']['b'][None, :, None, None]
+            x = x + h2
+        return jnp.transpose(x, (0, 2, 3, 1))
+    chain_nchw.__name__ = 'chain_nchw'
+    cases['chain_nchw'] = (jax.jit(chain_nchw), (params_nchw, x, temb))
+
     for label, (fn, args) in cases.items():
         jax.block_until_ready(fn(*args))
     print('tracing...', flush=True)
