@@ -70,7 +70,7 @@ def main():
     params_nchw = jax.tree.map(lambda a: a, params)
     for p in params_nchw:
         for k in ('conv1', 'conv2'):
-            p[k] = dict(p[k], w=jnp.transpose(p[k]['w'], (3, 2, 0, 1)))
+            p[k] = dict(p[k], kernel=jnp.transpose(p[k]['kernel'], (3, 2, 0, 1)))
 
     def chain_nchw(params, x, temb):
         x = jnp.transpose(x, (0, 3, 1, 2))
@@ -85,10 +85,10 @@ def main():
                 hN * p['norm1']['scale'][None, :, None, None]
                 + p['norm1']['bias'][None, :, None, None])
             hN = jax.lax.conv_general_dilated(
-                hN, p['conv1']['w'], (1, 1), 'SAME',
+                hN, p['conv1']['kernel'], (1, 1), 'SAME',
                 dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
                 preferred_element_type=jnp.bfloat16) \
-                + p['conv1']['b'][None, :, None, None]
+                + p['conv1']['bias'][None, :, None, None]
             t = dense(p['time_emb_proj'], jax.nn.silu(temb))
             hN = hN + t[:, :, None, None]
             b_, c_, h_, w_ = hN.shape
@@ -100,10 +100,10 @@ def main():
                 h2 * p['norm2']['scale'][None, :, None, None]
                 + p['norm2']['bias'][None, :, None, None])
             h2 = jax.lax.conv_general_dilated(
-                h2, p['conv2']['w'], (1, 1), 'SAME',
+                h2, p['conv2']['kernel'], (1, 1), 'SAME',
                 dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
                 preferred_element_type=jnp.bfloat16) \
-                + p['conv2']['b'][None, :, None, None]
+                + p['conv2']['bias'][None, :, None, None]
             x = x + h2
         return jnp.transpose(x, (0, 2, 3, 1))
     chain_nchw.__name__ = 'chain_nchw'
