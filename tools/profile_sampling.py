@@ -12,6 +12,7 @@ Targets (--target):
   unet    one b<B> CFG-batch UNet eval (the denoise step body)
   scan    the full 50-step _sample_loop
   vae     VAE decode at b<B> 512^2
+  train   the full compiled ED-LoRA train step at b<B> 512^2
 
 Timing notes for tunneled TPUs (axon): block_until_ready does NOT reliably
 wait, so wall-clock numbers here come from fetch-synchronized marginal
@@ -72,6 +73,62 @@ def _build(target: str, batch: int):
         lats = jnp.asarray(rng.normal(size=(batch // 2, 64, 64, 4)),
                            jnp.float32)
         return fn, params, lats
+    if target == 'train':
+        # the full compiled ED-LoRA train step at the bench operating point
+        # (b<batch> 512², masked loss + attn-reg): VAE encode + 16-layer CLIP
+        # + UNet fwd+bwd + optax. Attributes where the 7.3 steps/s goes.
+        from mixofshow_tpu.pipelines.concepts import bind_concept_prompt
+        from mixofshow_tpu.pipelines.trainer_edlora import (EDLoRATrainer,
+                                                            make_optimizer)
+        from mixofshow_tpu.text import CLIPTokenizer
+        from mixofshow_tpu.models.clip import CLIPTextConfig, init_clip_text
+        from mixofshow_tpu.models.vae import init_vae as _init_vae
+
+        ft = {'text_embedding': {'enable_tuning': True, 'lr': 1e-3},
+              'text_encoder': {'enable_tuning': True, 'lr': 1e-5,
+                               'lora_cfg': {'rank': 4}},
+              'unet': {'enable_tuning': True, 'lr': 1e-4,
+                       'lora_cfg': {'rank': 4}}}
+        trainer = EDLoRATrainer(
+            init_unet(0, UNetConfig.sd15()),
+            init_clip_text(1, CLIPTextConfig.sd15()),
+            _init_vae(2, VAEConfig.sd15()), tokenizer=CLIPTokenizer(),
+            new_concept_token='<c1>+<c2>',
+            initializer_token='<rand-0.013>+<rand-0.017>',
+            finetune_cfg=ft, noise_offset=0.01, attn_reg_weight=0.01,
+            reg_full_identity=False)
+        opt = make_optimizer(ft, 1000)
+        state = trainer.init_state(opt)
+        raw_step = trainer.make_train_step(opt)
+        bound = bind_concept_prompt(['a photo of <c1> <c2>'] * batch,
+                                    trainer.new_concept_cfg)
+        ids = trainer.tokenizer(bound).reshape(batch, 16, 77)
+        pos = [i for i, t in enumerate(ids[0, 0])
+               if t in trainer.concept_token_ids]
+        bt = jax.device_put({
+            'images': np.asarray(rng.normal(size=(batch, 512, 512, 3)),
+                                 np.float32),
+            'text_ids': ids.astype(np.int32),
+            'masks': np.ones((batch, 64, 64, 1), np.float32),
+            'img_masks': np.ones((batch, 512, 512, 1), np.float32),
+            'concept_pos': np.asarray([pos] * batch, np.int32),
+            'concept_pos_mask': np.ones((batch, 2), np.float32)})
+        frozen = jax.device_put(trainer.frozen_params)
+        import jax.random as jr
+
+        def fn(bundle, key_scalar):
+            # bundle = (state, batch, frozen) rides in as ARGUMENTS — a
+            # closure capture here would embed 4 GB of constants in the HLO
+            # and break the remote compile service. State is donated by the
+            # compiled step, so work on a fresh copy per call; the returned
+            # scalar depends on the post-update tree (a real fetch chain).
+            st, bt_, frozen_ = bundle
+            _, loss = raw_step(jax.tree.map(jnp.array, st), bt_,
+                               jr.fold_in(jr.PRNGKey(0),
+                                          key_scalar.astype(jnp.int32)),
+                               frozen_)
+            return loss['Norm_mean'] + 0 * key_scalar
+        return jax.jit(fn), (state, bt, frozen), jnp.float32(0.0)
     vcfg = VAEConfig.sd15()
     params = to_device(cast_floats(init_vae(2, vcfg), jnp.bfloat16))
     lat = jnp.asarray(rng.normal(size=(batch, 64, 64, 4)), jnp.bfloat16)
@@ -155,7 +212,7 @@ def _attribute(trace_dir: str, hlo_text: str, n_runs: int, top: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--target', choices=('unet', 'scan', 'vae'),
+    ap.add_argument('--target', choices=('unet', 'scan', 'vae', 'train'),
                     default='unet')
     ap.add_argument('--batch', type=int, default=8,
                     help='CFG batch for unet (2x sample batch), sample '
