@@ -228,6 +228,36 @@ def init_unet(rng, cfg: UNetConfig = UNetConfig(), dtype=jnp.float32):
     return params
 
 
+def cross_attention_kv(params, encoder_hidden_states, cfg: UNetConfig,
+                       lora=None, alpha=1.0):
+    """Precompute every cross-attention layer's K/V text projections.
+
+    The text context is constant across a whole denoise run, but a UNet call
+    inside the sampling scan recomputes all 32 to_k/to_v projections every
+    step (the reference pays the same cost per step in its Python loop,
+    pipeline_edlora.py:271-295). Hoisting them out of the scan trades
+    ~60 MB of HBM (bf16, CFG b8) for 32 matmuls/step. Returns
+    {layer_idx: (k, v)} with (B, 77, heads, head_dim) entries, consumed by
+    `unet_apply(cross_kv=...)`."""
+    ehs = encoder_hidden_states
+    heads = cfg.attention_heads
+    out = {}
+    for idx, path in enumerate(cross_layer_paths(cfg)):
+        parts = path.split('/')
+        node = params
+        for part in parts:
+            node = node[int(part)] if part.isdigit() else node[part]
+        p = node['attn2']
+        lw = maybe(lora, *parts, 'attn2')
+        ctx = ehs[:, idx] if ehs.ndim == 4 else ehs
+        k = dense(p['to_k'], ctx, maybe(lw, 'to_k'), alpha)
+        v = dense(p['to_v'], ctx, maybe(lw, 'to_v'), alpha)
+        b, s = ctx.shape[0], ctx.shape[1]
+        d = k.shape[-1] // heads
+        out[idx] = (k.reshape(b, s, heads, d), v.reshape(b, s, heads, d))
+    return out
+
+
 # ------------------------------------------------------------------- forward
 def _resnet(p, x, temb, groups):
     h = group_norm(p['norm1'], x, groups, act='silu')
@@ -243,17 +273,20 @@ def _resnet(p, x, temb, groups):
 
 def mh_attention(p, x, context, heads: int, lora=None, alpha=1.0,
                  return_probs: bool = False, return_pre_out: bool = False,
-                 fuse: bool = False):
+                 fuse: bool = False, kv=None):
     """diffusers `Attention` equivalent; (B, S, C) in/out.
 
     `return_pre_out` also yields the pre-output-projection tokens (the
     to_out layer's input — fusion's capture point). `fuse` routes the whole
     processor (QKV projection + softmax + out-projection) to the Pallas
     attention-block kernel on TPU (ops/fused_attention.py) — inference-only
-    (no VJP); LoRA folds into the effective weights (rank-4 outer product)."""
+    (no VJP); LoRA folds into the effective weights (rank-4 outer product).
+    `kv` supplies precomputed (B, S_k, H, D) key/value projections
+    (see `cross_attention_kv` — the denoise-scan hoist), skipping the
+    to_k/to_v matmuls."""
     b, s, c = x.shape
     d = c // heads
-    if fuse and not return_probs and not return_pre_out \
+    if fuse and kv is None and not return_probs and not return_pre_out \
             and 'bias' not in p['to_q'] and 'wq' not in p['to_q'] \
             and jax.default_backend() == 'tpu':
         from mixofshow_tpu.ops.fused_attention import (
@@ -284,10 +317,14 @@ def mh_attention(p, x, context, heads: int, lora=None, alpha=1.0,
     # end-to-end: XLA does not hoist the in-scan weight concat out of the
     # denoise while-loop, so it re-materialized every step)
     q = dense(p['to_q'], x, maybe(lora, 'to_q'), alpha).reshape(b, s, heads, d)
-    k = dense(p['to_k'], context, maybe(lora, 'to_k'), alpha)
-    v = dense(p['to_v'], context, maybe(lora, 'to_v'), alpha)
-    k = k.reshape(b, -1, heads, d)
-    v = v.reshape(b, -1, heads, d)
+    if kv is None:
+        k = dense(p['to_k'], context, maybe(lora, 'to_k'), alpha)
+        v = dense(p['to_v'], context, maybe(lora, 'to_v'), alpha)
+        k = k.reshape(b, -1, heads, d)
+        v = v.reshape(b, -1, heads, d)
+    else:
+        k = kv[0].astype(x.dtype)
+        v = kv[1].astype(x.dtype)
 
     # (contracting to_out head-by-head against the kernel's raw (B,H,S,D)
     # output was tried and measured IDENTICAL — XLA re-fuses the unrolled
@@ -329,7 +366,8 @@ def _transformer(p, x, context, layer_idx: int, place: str, cfg: UNetConfig,
                  return_cross_probs: bool = False,
                  capture_grams: bool = False,
                  prob_columns=None,
-                 fuse_attention: bool = False):
+                 fuse_attention: bool = False,
+                 cross_kv=None):
     """Transformer2DModel with one BasicTransformerBlock (SD1.x shape).
 
     `context` is (B, 77, C) or layerwise (B, L, 77, C) — sliced at
@@ -387,7 +425,7 @@ def _transformer(p, x, context, layer_idx: int, place: str, cfg: UNetConfig,
                                          cfg.attention_heads,
                                          maybe(lora, 'attn2'),
                                          alpha, return_probs=return_cross_probs,
-                                         return_pre_out=True)
+                                         return_pre_out=True, kv=cross_kv)
         if probs is not None and prob_columns is not None:
             # keep only the requested key columns (the <=2 concept tokens) —
             # full (B, heads, Q, 77) maps never become autodiff residuals
@@ -400,7 +438,7 @@ def _transformer(p, x, context, layer_idx: int, place: str, cfg: UNetConfig,
     else:
         ca, _ = mh_attention(p['attn2'], attn_in, ctx,
                              cfg.attention_heads, maybe(lora, 'attn2'),
-                             alpha, fuse=fuse_attention)
+                             alpha, fuse=fuse_attention, kv=cross_kv)
         ca_pre = None
     if 'attn2_q' in points:
         grams['attn2_q'] = gram(attn_in)
@@ -435,9 +473,14 @@ def unet_apply(params, sample: jnp.ndarray, timesteps: jnp.ndarray,
                capture_grams: bool = False,
                prob_columns=None,
                remat: bool = False,
-               fuse_attention: bool = False):
+               fuse_attention: bool = False,
+               cross_kv=None):
     """Predict noise/velocity. sample: (B, H, W, 4) NHWC; timesteps: (B,) or
     scalar; encoder_hidden_states: (B, 77, C) or layerwise (B, L, 77, C).
+
+    `cross_kv` ({layer_idx: (k, v)}, see `cross_attention_kv`) supplies
+    precomputed cross-attention K/V text projections — the denoise-scan
+    hoist (they are loop-invariant across steps).
 
     Returns (out, aux) where aux['cross_probs'] is a list of
     (place, layer_idx, probs(B, heads, Q, K)) when requested."""
@@ -462,7 +505,8 @@ def unet_apply(params, sample: jnp.ndarray, timesteps: jnp.ndarray,
     def run_pair(p_attn, x, idx, place, blora):
         return tfm(p_attn, x, ehs, idx, place, cfg, blora, lora_alpha,
                    cross_attn_override, return_cross_probs, capture_grams,
-                   prob_columns, fuse_attention)
+                   prob_columns, fuse_attention,
+                   None if cross_kv is None else cross_kv[idx])
 
     x = conv2d(params['conv_in'], sample)
     residuals = [x]

@@ -47,6 +47,12 @@ FUSE_ATTENTION = {'0': False, '1': True, '2': 'packed',
                   'packed': 'packed'}.get(
     _os.environ.get('MOS_FUSE_ATTENTION', '2'), False)
 
+# Hoist the 32 cross-attention K/V text projections out of the denoise scan
+# (they are loop-invariant: the text context never changes across steps, and
+# XLA's while-loop LICM does not lift them). Costs ~60 MB HBM at CFG b8.
+# MOS_HOIST_CROSS_KV=0 restores the in-scan projections for A/B.
+HOIST_CROSS_KV = _os.environ.get('MOS_HOIST_CROSS_KV', '1') != '0'
+
 
 @functools.partial(jax.jit, static_argnames=('ccfg',))
 def _encode_ids(te_params, ids, concept_embedding, ccfg, lora=None,
@@ -74,6 +80,15 @@ def _sample_loop(unet_params, lora, lora_alpha, prompt_embeds, latents,
     pipeline_edlora.py:107,292-295 / edlora.py:193-218)."""
     capture = {(place, idx): q for place, idx, q in capture_sizes}
 
+    ckv = None
+    if HOIST_CROSS_KV:
+        from mixofshow_tpu.models.unet import cross_attention_kv
+        # evaluated once per sampling call: this sits outside the scanned
+        # body, so the while loop closes over the 32 projected K/V tensors
+        # as loop invariants instead of recomputing them every step
+        ckv = cross_attention_kv(unet_params, prompt_embeds, ucfg,
+                                 lora=lora, alpha=lora_alpha)
+
     def body(carry, i):
         sample, m_prev, psum = carry
         latent_in = jnp.concatenate([sample, sample]) if use_cfg else sample
@@ -88,7 +103,8 @@ def _sample_loop(unet_params, lora, lora_alpha, prompt_embeds, latents,
                               prompt_embeds, ucfg, lora=lora,
                               lora_alpha=lora_alpha,
                               return_cross_probs=bool(capture),
-                              fuse_attention=FUSE_ATTENTION)
+                              fuse_attention=FUSE_ATTENTION,
+                              cross_kv=ckv)
         eps = eps.astype(jnp.float32)
         if capture:
             for place, idx, probs in aux['cross_probs']:

@@ -60,7 +60,8 @@ def _box_mask(box, h: int, w: int, dtype=jnp.float32):
 
 def make_region_override(region_list, heads: int,
                          use_kernel: Optional[bool] = None,
-                         precise: bool = False):
+                         precise: bool = False,
+                         kv_table=None, region_kv_tables=None):
     """Build the cross-attention override implementing region_rewrite:
     compute global attention PRE-projection, rewrite box interiors with
     per-region attention on pre-projection tokens, then apply to_out once —
@@ -69,6 +70,12 @@ def make_region_override(region_list, heads: int,
     region_list: sequence of (embeds (B, 16, 77, C), box (4,)) — embeds
     already CFG-concatenated to match the UNet batch; boxes are TRACED, so
     one compiled program serves every layout with the same region count.
+
+    `kv_table` / `region_kv_tables` supply precomputed K/V projections of
+    the global / per-region contexts ({layer_idx: (k, v)}, see
+    models.unet.cross_attention_kv) — they are loop-invariant across
+    denoise steps, so the sampling scan hoists them (reference recomputes
+    them inside every step's processor call, …t2iadapter.py:119-129).
 
     Two equivalent compute paths (attention is row-independent, so both
     reproduce the reference's sliced-box math exactly):
@@ -88,12 +95,28 @@ def make_region_override(region_list, heads: int,
         d = c // heads
         q = dense(p['to_q'], x, maybe(lora, 'to_q'), alpha).reshape(
             b, n, heads, d)
-        ctx = ctx.astype(x.dtype)
-        k = dense(p['to_k'], ctx, maybe(lora, 'to_k'), alpha)
-        v = dense(p['to_v'], ctx, maybe(lora, 'to_v'), alpha)
-        k = k.reshape(b, -1, heads, d)
-        v = v.reshape(b, -1, heads, d)
+        if kv_table is not None:
+            k = kv_table[layer_idx][0].astype(x.dtype)
+            v = kv_table[layer_idx][1].astype(x.dtype)
+        else:
+            ctx = ctx.astype(x.dtype)
+            k = dense(p['to_k'], ctx, maybe(lora, 'to_k'), alpha)
+            v = dense(p['to_v'], ctx, maybe(lora, 'to_v'), alpha)
+            k = k.reshape(b, -1, heads, d)
+            v = v.reshape(b, -1, heads, d)
         kv_len = k.shape[1]
+
+        def region_kv(ri, embeds):
+            if region_kv_tables is not None:
+                rk, rv = region_kv_tables[ri][layer_idx]
+                return rk.astype(x.dtype), rv.astype(x.dtype)
+            rctx = embeds[:, layer_idx] if embeds.ndim == 4 else embeds
+            rctx = rctx.astype(x.dtype)
+            rk = dense(p['to_k'], rctx, maybe(lora, 'to_k'),
+                       alpha).reshape(b, -1, heads, d)
+            rv = dense(p['to_v'], rctx, maybe(lora, 'to_v'),
+                       alpha).reshape(b, -1, heads, d)
+            return rk, rv
 
         kernel_ok = (bool(region_list) and region_attention_supported(
             heads, d, kv_len, len(region_list)))
@@ -103,13 +126,10 @@ def make_region_override(region_list, heads: int,
 
         if region_list and on_kernel:
             rks, rvs = [], []
-            for embeds, box in region_list:
-                rctx = embeds[:, layer_idx] if embeds.ndim == 4 else embeds
-                rctx = rctx.astype(x.dtype)
-                rks.append(dense(p['to_k'], rctx, maybe(lora, 'to_k'),
-                                 alpha).reshape(b, -1, heads, d))
-                rvs.append(dense(p['to_v'], rctx, maybe(lora, 'to_v'),
-                                 alpha).reshape(b, -1, heads, d))
+            for ri, (embeds, box) in enumerate(region_list):
+                rk, rv = region_kv(ri, embeds)
+                rks.append(rk)
+                rvs.append(rv)
             boxes = jnp.stack([jnp.asarray(box, jnp.float32)
                                for _, box in region_list])
             out = region_cross_attention(
@@ -125,13 +145,8 @@ def make_region_override(region_list, heads: int,
         if region_list:
             count = jnp.zeros((h, w), jnp.float32)
             accum = jnp.zeros_like(g_grid)
-            for embeds, box in region_list:
-                rctx = embeds[:, layer_idx] if embeds.ndim == 4 else embeds
-                rctx = rctx.astype(x.dtype)
-                rk = dense(p['to_k'], rctx, maybe(lora, 'to_k'), alpha)
-                rv = dense(p['to_v'], rctx, maybe(lora, 'to_v'), alpha)
-                rk = rk.reshape(b, -1, heads, d)
-                rv = rv.reshape(b, -1, heads, d)
+            for ri, (embeds, box) in enumerate(region_list):
+                rk, rv = region_kv(ri, embeds)
                 r_out, _ = sdpa(q, rk, rv)
                 r_grid = r_out.reshape(b, h, w, c)
                 m = _box_mask(box, h, w)
@@ -177,7 +192,19 @@ def _regional_sample_loop(unet_params, prompt_embeds, region_list,
                           adapter_features, latents, guidance_scale, coeffs,
                           ucfg: UNetConfig, solver: DPMSolverMultistep,
                           use_cfg: bool, heads: int):
-    override = make_region_override(region_list, heads)
+    from mixofshow_tpu.pipelines.pipeline_edlora import HOIST_CROSS_KV
+    kv_table = region_kv_tables = None
+    if HOIST_CROSS_KV:
+        # K/V projections of the global and per-region text contexts are
+        # loop-invariant — hoist them out of the scan (same MOS_HOIST_CROSS_KV
+        # knob as EDLoRAPipeline)
+        from mixofshow_tpu.models.unet import cross_attention_kv
+        kv_table = cross_attention_kv(unet_params, prompt_embeds, ucfg)
+        region_kv_tables = tuple(
+            cross_attention_kv(unet_params, embeds, ucfg)
+            for embeds, _ in region_list)
+    override = make_region_override(region_list, heads, kv_table=kv_table,
+                                    region_kv_tables=region_kv_tables)
 
     def body(carry, i):
         sample, m_prev = carry

@@ -18,7 +18,20 @@ import numpy as np
 
 __all__ = ['cached_init']
 
-_DIR = os.environ.get('MOS_INIT_CACHE', '/tmp/mos_init_cache')
+def _default_dir() -> str:
+    # Repo-local when running from a writable checkout: /tmp does not
+    # survive container/host recycling, and a cold init inside the driver's
+    # bench budget costs up to 8+ min of host memory stalls (module
+    # docstring). Mirrors utils/xla_cache._default_dir.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    if ('site-packages' not in pkg_root and 'dist-packages' not in pkg_root
+            and os.access(pkg_root, os.W_OK)):
+        return os.path.join(pkg_root, '.init_cache')
+    return '/tmp/mos_init_cache'
+
+
+_DIR = os.environ.get('MOS_INIT_CACHE') or _default_dir()
 
 try:
     import ml_dtypes
