@@ -223,6 +223,7 @@ def bench_fusion(emit=True, size=None, steps=None):
         bundle = ModelBundle(unet=unet, text_encoder=te, vae=vae,
                              tokenizer=tok, unet_config=ucfg,
                              text_config=ccfg, vae_config=vcfg)
+        cache_before = _cache_entries()
         t0 = time.time()
         compose_concepts(cfg_path, None, tmp, suffix='bench',
                          spatial_steps=steps, image_size=size,
@@ -244,10 +245,13 @@ def bench_fusion(emit=True, size=None, steps=None):
         'baseline_note': 'speedup vs ~600s estimate for reference LBFGS '
                          'fusion of 2 concepts; reference publishes no '
                          'wall-clock',
+        'xla_cache_entries': cache_before,
         **_device_info()}
     if emit:
         print(json.dumps(rec))
-    _record_prior('fusion', rec)
+    # full-size composes get their own prior file so they never clobber the
+    # shrunk driver-workload record the adaptive budget gate keys on
+    _record_prior('fusion' if size <= 256 else 'fusion_full', rec)
     return rec
 
 
@@ -313,6 +317,20 @@ def bench_regional(emit=True):
         print(json.dumps(rec))
     _record_prior('regional', rec)
     return rec
+
+
+def _cache_entries():
+    """Entry count of the persistent XLA compile cache (0 if disabled).
+    Used to judge whether a recorded fusion cost was warm or cold: the
+    dominant cost of the compose is remote compilation, so a measurement
+    taken with a populated cache predicts the next run far better than the
+    704 s cold number."""
+    try:
+        import jax
+        d = getattr(jax.config, 'jax_compilation_cache_dir', None)
+        return len(os.listdir(d)) if d else 0
+    except Exception:
+        return 0
 
 
 def _prior_path(name):
@@ -430,7 +448,9 @@ def main():
             ('regional', 'the reference flagship workload, 30 s/image at '
                          'the 1024x2048/3-region demo shape'),
             ('fusion', 'measured 704 s cold through the remote compile '
-                       'service even at the shrunk driver workload')):
+                       'service even at the shrunk driver workload'),
+            ('fusion_full', 'the full-size 512px/20-step compose — too big '
+                            'for any driver budget; measured standalone')):
         prior = _prior(name)
         if prior is not None:
             # most recent on-chip measurement by a standalone
@@ -474,7 +494,18 @@ def main():
     # real measurement in the record when the attempt is skipped.
     fsize = int(os.environ.get('BENCH_FUSION_SIZE', '256'))
     fsteps = int(os.environ.get('BENCH_FUSION_STEPS', '5'))
-    fmin = float(os.environ.get('BENCH_FUSION_MIN', '750'))
+    # Adaptive gate: the compose's dominant cost is remote compilation, so
+    # when the persistent XLA cache is at least as populated as it was for
+    # the most recent recorded fusion run, 1.3x that run's wall-clock (floor
+    # 240 s) predicts this one; otherwise assume the measured 750 s cold
+    # cost. BENCH_FUSION_MIN overrides.
+    fmin = 750.0
+    fprior = _prior('fusion')
+    if (fprior and fprior.get('xla_cache_entries', 0) > 0
+            and _cache_entries() >= fprior['xla_cache_entries']
+            and f'{fsize}px' in fprior.get('metric', '')):
+        fmin = max(240.0, 1.3 * float(fprior['value']))
+    fmin = float(os.environ.get('BENCH_FUSION_MIN', fmin))
     if os.environ.get('BENCH_SKIP_FUSION') == '1':
         record['fusion_skipped'] = 'BENCH_SKIP_FUSION=1'
     elif _remaining(budget) < fmin:

@@ -453,30 +453,36 @@ def compose_concepts(concept_cfg: str, pretrained_path: str, save_path: str,
     spectral solve replaces iteration counts; solver='lbfgs' runs the
     iterative parity path with the reference's per-phase iteration budgets
     (fuse.sh:8-9)."""
+    import time as _time
+    t0 = _time.time()
+
+    def _mark(msg):
+        logger.info('%s [t+%.1fs]', msg, _time.time() - t0)
+
     if bundle is None:
         from mixofshow_tpu.zoo import load_models
         bundle = load_models(pretrained_path, seed=seed)
 
-    logger.info('------Step 1/2: load base + concept checkpoints------')
+    _mark('------Step 1/2: load base + concept checkpoints------')
     parsed, concept_list = parse_new_concepts(concept_cfg)
 
-    logger.info('------Step 3: merge token embedding------')
+    _mark('------Step 3: merge token embedding------')
     new_concept_cfg, concept_table = merge_new_concepts(
         parsed, concept_list, bundle.tokenizer)
 
-    logger.info('------Step 4: merge text encoder------')
+    _mark('------Step 4: merge text encoder------')
     text_params, _ = merge_text_encoder(
         parsed, concept_list, new_concept_cfg, bundle.tokenizer,
         bundle.text_encoder, concept_table, bundle.text_config, lam=lam_text,
         method=solver, iters=optimize_textenc_iters)
 
-    logger.info('------Step 5: merge kv of cross-attention in unet------')
+    _mark('------Step 5: merge kv of cross-attention in unet------')
     unet_params, _ = merge_kv_in_cross_attention(
         parsed, concept_list, new_concept_cfg, bundle.tokenizer, text_params,
         bundle.text_config, concept_table, bundle.unet, bundle.unet_config,
         lam=lam_text, method=solver, iters=optimize_textenc_iters)
 
-    logger.info('------Step 6: merge spatial attention in unet------')
+    _mark('------Step 6: merge spatial attention in unet------')
     unet_params, _ = merge_spatial_attention(
         parsed, concept_list, new_concept_cfg, bundle.tokenizer, text_params,
         bundle.text_config, concept_table, unet_params, bundle.unet_config,
@@ -485,7 +491,7 @@ def compose_concepts(concept_cfg: str, pretrained_path: str, save_path: str,
         method=solver, iters=optimize_unet_iters)
 
     ckpt_path = os.path.join(save_path, f'combined_model_{suffix}')
-    logger.info('saving fused checkpoint to %s', ckpt_path)
+    _mark(f'saving fused checkpoint to {ckpt_path}')
     # append concept rows to the token embedding so the saved text encoder is
     # a plain (expanded-vocab) diffusers checkpoint (reference relies on the
     # resized embedding being inside the saved pipe, gradient_fusion.py:230)
@@ -498,4 +504,5 @@ def compose_concepts(concept_cfg: str, pretrained_path: str, save_path: str,
     save_pipeline_params(ckpt_path, unet=unet_params, vae=bundle.vae,
                          text_encoder=text_out,
                          new_concept_cfg=new_concept_cfg)
+    _mark('fused checkpoint saved')
     return ckpt_path, new_concept_cfg
