@@ -167,6 +167,7 @@ def bench_train(emit=True):
         **_device_info()}
     if emit:
         print(json.dumps(rec))
+    _record_prior('train', rec)
     return rec
 
 
@@ -445,6 +446,8 @@ def main():
     budget = float(os.environ.get('BENCH_BUDGET', '900'))
     record = bench_sample()
     for name, why in (
+            ('train', 'cheap enough to re-measure most rounds; the prior '
+                      'covers a budget-exhausted skip'),
             ('regional', 'the reference flagship workload, 30 s/image at '
                          'the 1024x2048/3-region demo shape'),
             ('fusion', 'measured 704 s cold through the remote compile '
