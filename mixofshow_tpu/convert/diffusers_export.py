@@ -184,6 +184,16 @@ def save_pipeline_params(root: str, unet=None, vae=None, text_encoder=None,
     sidecar — the artifact set the reference's regional sampler reloads
     (regionally_controlable_sampling.py:57-60)."""
     from safetensors.numpy import save_file
+
+    from mixofshow_tpu.utils.transfer import fetch_tree
+
+    # One packed transfer per ~64 MB instead of ~700 per-leaf round trips:
+    # device-resident trees (e.g. the fusion output) otherwise serialize at
+    # ~5 MB/s over the remote-TPU tunnel (utils/transfer.py).
+    unet = fetch_tree(unet) if unet is not None else None
+    vae = fetch_tree(vae) if vae is not None else None
+    text_encoder = (fetch_tree(text_encoder)
+                    if text_encoder is not None else None)
     os.makedirs(root, exist_ok=True)
     if unet is not None:
         d = os.path.join(root, 'unet')

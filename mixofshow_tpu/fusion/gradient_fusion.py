@@ -110,11 +110,14 @@ def _lora_delta(lora_leaf, alpha: float):
     """alpha * down@up — the (in, out) weight delta of one LoRA leaf, or
     None when the concept has no adapter on this layer (the solve then pulls
     that layer toward the anchor, same as the reference's skip at
-    gradient_fusion.py:128)."""
+    gradient_fusion.py:128). Computed ON DEVICE from the tiny rank-r
+    factors ((F, r) + (r, O) uploads are KBs; materializing the (F, O)
+    product host-side and uploading it would pay the tunnel's per-transfer
+    latency on MBs instead)."""
     if lora_leaf is None:
         return None
-    d = np.asarray(lora_leaf['down'], np.float32)
-    u = np.asarray(lora_leaf['up'], np.float32)
+    d = jnp.asarray(lora_leaf['down'], jnp.float32)
+    u = jnp.asarray(lora_leaf['up'], jnp.float32)
     return alpha * (d @ u)
 
 
@@ -162,19 +165,23 @@ def merge_text_encoder(parsed, concept_list, new_concept_cfg, tokenizer,
         lora_flat = flatten_lora(data['text_lora'])
         for path in layer_paths:
             _, blk, _, proj = path.split('/')
-            g = np.asarray(grams_per_block[int(blk)][_CLIP_POINT[proj]])
+            # grams stay ON DEVICE end to end: per-leaf fetches over the
+            # remote-TPU tunnel cost ~1 s latency each (~5 MB/s effective —
+            # this loop's np.asarray fetches alone measured 108 s, r4)
+            g = grams_per_block[int(blk)][_CLIP_POINT[proj]]
             g_sums[path] = g if g_sums[path] is None else g_sums[path] + g
             dm = _lora_delta(lora_flat.get(path), alpha)
             if dm is not None:
                 d = g @ dm
                 d_sums[path] = d if d_sums[path] is None else d_sums[path] + d
 
-    anchors = [np.asarray(get_path(text_params, p)['kernel'], np.float32)
-               for p in layer_paths]
+    anchors = [get_path(text_params, p)['kernel'] for p in layer_paths]
     deltas = [d_sums[p] if d_sums[p] is not None else
-              np.zeros_like(anchors[i]) for i, p in enumerate(layer_paths)]
+              np.zeros(anchors[i].shape, np.float32)
+              for i, p in enumerate(layer_paths)]
     solved = solve_layer_group([g_sums[p] for p in layer_paths], deltas,
-                               anchors, lam=lam, method=method, iters=iters)
+                               anchors, lam=lam, method=method, iters=iters,
+                               device_out=True)
     new_params = _apply_kernels(text_params, dict(zip(layer_paths, solved)))
     _log_residuals('text_encoder', layer_paths, g_sums, deltas, solved,
                    anchors)
@@ -245,8 +252,10 @@ def merge_kv_in_cross_attention(parsed, concept_list, new_concept_cfg,
                 rows.append(emb_all[r][sel])
             feats[layer_idx] = np.concatenate(rows, 0).astype(np.float32)
         for layer_idx, path in kv_paths:
-            k_feat = feats[layer_idx]
-            g = k_feat.T @ k_feat
+            # tiny (rows, 768) upload; gram on device so the solve inputs
+            # never round-trip the tunnel
+            ku = jnp.asarray(feats[layer_idx])
+            g = ku.T @ ku
             g_sums[path] = g if g_sums[path] is None else g_sums[path] + g
             dm = _lora_delta(lora_flat.get(path), alpha)
             if dm is not None:
@@ -256,12 +265,12 @@ def merge_kv_in_cross_attention(parsed, concept_list, new_concept_cfg,
     active = [p for _, p in kv_paths if g_sums[p] is not None]
     if not active:
         return unet_params, {}
-    anchors = [np.asarray(get_path(unet_params, p)['kernel'], np.float32)
-               for p in active]
-    deltas = [d_sums[p] if d_sums[p] is not None else np.zeros_like(a)
+    anchors = [get_path(unet_params, p)['kernel'] for p in active]
+    deltas = [d_sums[p] if d_sums[p] is not None
+              else np.zeros(a.shape, np.float32)
               for p, a in zip(active, anchors)]
     solved = solve_layer_group([g_sums[p] for p in active], deltas,
-                               anchors, lam=lam)
+                               anchors, lam=lam, device_out=True)
     new_params = _apply_kernels(unet_params, dict(zip(active, solved)))
     _log_residuals('unet cross-KV', active, g_sums, deltas, solved, anchors)
     return new_params, dict(zip(active, solved))
@@ -377,7 +386,8 @@ def merge_spatial_attention(parsed, concept_list, new_concept_cfg, tokenizer,
         grams = capture_run(unet_c, data['unet_spatial'] or None,
                             jnp.asarray(alpha, compute_dtype), embeds,
                             latents, jnp.asarray(record))
-        grams = jax.tree.map(np.asarray, grams)
+        # grams stay ON DEVICE: this tree is multi-GB (ff grams are
+        # (4c, 4c)) and per-leaf tunnel fetches run at ~5 MB/s (r4)
 
         lora_flat = flatten_lora(data['unet_spatial'])
         for path in layer_paths:
@@ -396,14 +406,13 @@ def merge_spatial_attention(parsed, concept_list, new_concept_cfg, tokenizer,
     active = [p for p in layer_paths if g_sums[p] is not None]
     # 1x1-conv kernels (proj_in/proj_out) solve as their (in, out) matrix;
     # _apply_kernels restores the original (1, 1, in, out) shape
-    anchors = [np.asarray(get_path(unet_params, p)['kernel'],
-                          np.float32).reshape(-1, np.asarray(
-                              get_path(unet_params, p)['kernel']).shape[-1])
-               for p in active]
-    deltas = [d_sums[p] if d_sums[p] is not None else np.zeros_like(a)
+    anchors = [get_path(unet_params, p)['kernel'] for p in active]
+    anchors = [a.reshape(-1, a.shape[-1]) for a in anchors]
+    deltas = [d_sums[p] if d_sums[p] is not None
+              else np.zeros(a.shape, np.float32)
               for p, a in zip(active, anchors)]
     solved = solve_layer_group([g_sums[p] for p in active], deltas,
-                               anchors, lam=lam)
+                               anchors, lam=lam, device_out=True)
     new_params = _apply_kernels(unet_params, dict(zip(active, solved)))
     _log_residuals('unet spatial', active, g_sums, deltas, solved, anchors)
     return new_params, dict(zip(active, solved))
@@ -422,20 +431,40 @@ def _apply_kernels(params, kernels: Dict[str, np.ndarray]):
     new = deep_copy(params)
     for path, kern in kernels.items():
         leaf = get_path(new, path)
-        old = np.asarray(leaf['kernel'])
+        old = leaf['kernel']  # shape/dtype only — no host fetch
         leaf['kernel'] = jnp.asarray(kern.reshape(old.shape), old.dtype)
     return new
+
+
+@jax.jit
+def _residual_core_batch(g, d, wn, w0):
+    """tr(ΔᵀGΔ) − 2tr(ΔᵀD) per layer over a stacked (B, F, O) group."""
+    dw = (wn - w0).astype(jnp.float32)
+    return (jnp.einsum('bfo,bfe,beo->b', dw, g.astype(jnp.float32), dw)
+            - 2.0 * jnp.einsum('bfo,bfo->b', dw, d.astype(jnp.float32)))
 
 
 def _log_residuals(tag: str, paths, g_sums, deltas, solved, anchors):
     """Per-layer fit residual Σ_c‖X_c(Wn − Wm_c)‖² up to the Wn-independent
     constant: tr(ΔᵀGΔ) − 2tr(ΔᵀD) with Δ = Wn − W₀ — the optimization
     diagnostic the reference logs after LBFGS (gradient_fusion.py:87-95).
-    `deltas` is the list of D = Σ_c G_c ΔWm_c aligned with `paths`."""
-    for path, d, wn, w0 in zip(paths, deltas, solved, anchors):
-        g = g_sums[path]
-        dw = wn - w0
-        r = float(np.trace(dw.T @ g @ dw) - 2 * np.trace(dw.T @ d))
+    `deltas` is the list of D = Σ_c G_c ΔWm_c aligned with `paths`.
+    Computed ON DEVICE per shape group with one scalar-vector fetch each
+    (per-layer host traces would re-fetch every gram over the tunnel)."""
+    order = {}
+    for i, a in enumerate(anchors):
+        order.setdefault(tuple(a.shape), []).append(i)
+    res = [0.0] * len(paths)
+    from mixofshow_tpu.ops.solve import stack_for_device
+    for idxs in order.values():
+        r = np.asarray(_residual_core_batch(
+            stack_for_device([g_sums[paths[i]] for i in idxs]),
+            stack_for_device([deltas[i] for i in idxs]),
+            stack_for_device([solved[i] for i in idxs]),
+            stack_for_device([anchors[i] for i in idxs])))
+        for j, i in enumerate(idxs):
+            res[i] = float(r[j])
+    for path, r in zip(paths, res):
         logger.info('%s %s: residual(core)=%.3e', tag, path, r)
 
 

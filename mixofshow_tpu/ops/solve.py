@@ -101,17 +101,32 @@ def _batched_lbfgs(g, d, w0, iters: int):
     return jax.vmap(solve_one)(g, d, w0)
 
 
+def stack_for_device(arrs) -> jnp.ndarray:
+    """Stack a same-shape list to a device (B, ...) fp32 array. All-host
+    lists stack host-side first so the tunnel sees ONE transfer; any device
+    member forces the element-wise jnp path (device stacks are free)."""
+    if all(isinstance(a, np.ndarray) for a in arrs):
+        return jnp.asarray(np.stack([a.astype(np.float32, copy=False)
+                                     for a in arrs]))
+    return jnp.stack([jnp.asarray(a, jnp.float32) for a in arrs])
+
+
 def solve_layer_group(grams: List[np.ndarray], deltas: List[np.ndarray],
                       anchors: List[np.ndarray],
                       lam: float = 1e-4,
                       rank_tol: float = 1e-6,
                       method: str = 'exact',
-                      iters: int = 50) -> List[np.ndarray]:
+                      iters: int = 50,
+                      device_out: bool = False) -> List[np.ndarray]:
     """Solve many layers at once, grouping same-shape layers into one
     batched (vmapped) solve. All arrays are kernel-layout (F, O);
-    `deltas[i]` = Σ_c G_c (Wm_c − W₀) for layer i.
+    `deltas[i]` = Σ_c G_c (Wm_c − W₀) for layer i. Inputs may be host
+    numpy or device arrays.
 
     method: 'exact' (spectral, default) or 'lbfgs' (iterative parity path).
+    device_out=True keeps the solved kernels on device (the fusion phases
+    feed them straight back into device-resident params — fetching them
+    per-layer over a remote-device tunnel costs ~1 s latency each, r4).
     Residual reporting is the caller's job (the reference logs per-layer
     residuals, gradient_fusion.py:87-95)."""
     order: dict[Tuple[int, int], List[int]] = {}
@@ -120,14 +135,16 @@ def solve_layer_group(grams: List[np.ndarray], deltas: List[np.ndarray],
 
     out: List[np.ndarray] = [None] * len(grams)  # type: ignore
     for shape, idxs in order.items():
-        g = jnp.stack([jnp.asarray(grams[i], jnp.float32) for i in idxs])
-        d = jnp.stack([jnp.asarray(deltas[i], jnp.float32) for i in idxs])
-        w = jnp.stack([jnp.asarray(anchors[i], jnp.float32) for i in idxs])
+        g = stack_for_device([grams[i] for i in idxs])
+        d = stack_for_device([deltas[i] for i in idxs])
+        w = stack_for_device([anchors[i] for i in idxs])
         if method == 'lbfgs':
-            solved = np.asarray(_batched_lbfgs(g, d, w, iters))
+            solved = _batched_lbfgs(g, d, w, iters)
         else:
-            solved = np.asarray(_batched_solve(g, d, w, jnp.float32(lam),
-                                               jnp.float32(rank_tol)))
+            solved = _batched_solve(g, d, w, jnp.float32(lam),
+                                    jnp.float32(rank_tol))
+        if not device_out:
+            solved = np.asarray(solved)
         for j, i in enumerate(idxs):
             out[i] = solved[j]
     return out

@@ -66,9 +66,18 @@ def enable_persistent_cache(path: str = None) -> bool:
         if getattr(jax.config, 'jax_compilation_cache_dir', None):
             return True
         jax.config.update('jax_compilation_cache_dir', path)
-        # SD-size programs all compile in >>1s; the default 1s floor also
-        # keeps tiny test programs from flooding the dir on CPU.
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        # On the remote-TPU ('axon') backend EVERY compile — even a trivial
+        # eager op — pays a ~0.5 s round trip through the remote compile
+        # service, and the fusion compose dispatches dozens of unique tiny
+        # eager ops per process; with the default 1 s floor those are never
+        # persisted, so every compose repaid ~65 such compiles (measured,
+        # r4). Persist everything on accelerator backends. On CPU keep the
+        # 1 s floor: eager ops compile in ms there and would flood the dir
+        # with thousands of KB-size entries (the pytest suite forces
+        # JAX_PLATFORMS=cpu).
+        on_cpu = 'cpu' in os.environ.get('JAX_PLATFORMS', '').lower()
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          1.0 if on_cpu else 0.0)
         return True
     except Exception as e:
         # Breadcrumb: a silent failure here means every run silently repays
