@@ -187,9 +187,9 @@ def save_pipeline_params(root: str, unet=None, vae=None, text_encoder=None,
 
     from mixofshow_tpu.utils.transfer import fetch_tree
 
-    # One packed transfer per ~64 MB instead of ~700 per-leaf round trips:
-    # device-resident trees (e.g. the fusion output) otherwise serialize at
-    # ~5 MB/s over the remote-TPU tunnel (utils/transfer.py).
+    # Concurrent fetch instead of sequential per-leaf round trips:
+    # device-resident leaves (e.g. the fusion-solved kernels) otherwise
+    # serialize the tunnel's per-transfer latency (utils/transfer.py).
     unet = fetch_tree(unet) if unet is not None else None
     vae = fetch_tree(vae) if vae is not None else None
     text_encoder = (fetch_tree(text_encoder)

@@ -24,12 +24,12 @@ def test_fetch_tree_roundtrip_dtypes():
         np.testing.assert_array_equal(a, b)
 
 
-def test_fetch_tree_chunking_exact():
-    # force multiple chunks with a tiny chunk size; bit-exact across splits
+def test_fetch_tree_many_leaves_exact():
+    # concurrent path (many device leaves): bit-exact vs sequential fetch
     rng = np.random.default_rng(0)
     tree = [jnp.asarray(rng.normal(size=(64, 64)).astype(np.float32))
             for _ in range(9)]
-    out = fetch_tree(tree, chunk_mb=1)  # 16 KB leaves, still one chunk each?
+    out = fetch_tree(tree, workers=4)
     for a, leaf in zip(out, tree):
         np.testing.assert_array_equal(a, np.asarray(leaf))
 
