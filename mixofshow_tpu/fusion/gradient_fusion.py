@@ -118,7 +118,11 @@ def _lora_delta(lora_leaf, alpha: float):
         return None
     d = jnp.asarray(lora_leaf['down'], jnp.float32)
     u = jnp.asarray(lora_leaf['up'], jnp.float32)
-    return alpha * (d @ u)
+    # Precision pin: TPU fp32 matmuls default to bf16-input passes (~1e-3
+    # relative error); these products feed an eigh solve with rank_tol=1e-6,
+    # so they must be exact fp32 like the host-numpy path they replaced
+    # (ADVICE r4 medium).
+    return alpha * jnp.matmul(d, u, precision=jax.lax.Precision.HIGHEST)
 
 
 _CLIP_POINT = {'q': 'qkv', 'k': 'qkv', 'v': 'qkv', 'out': 'out'}
@@ -172,7 +176,7 @@ def merge_text_encoder(parsed, concept_list, new_concept_cfg, tokenizer,
             g_sums[path] = g if g_sums[path] is None else g_sums[path] + g
             dm = _lora_delta(lora_flat.get(path), alpha)
             if dm is not None:
-                d = g @ dm
+                d = jnp.matmul(g, dm, precision=jax.lax.Precision.HIGHEST)
                 d_sums[path] = d if d_sums[path] is None else d_sums[path] + d
 
     anchors = [get_path(text_params, p)['kernel'] for p in layer_paths]
@@ -255,11 +259,11 @@ def merge_kv_in_cross_attention(parsed, concept_list, new_concept_cfg,
             # tiny (rows, 768) upload; gram on device so the solve inputs
             # never round-trip the tunnel
             ku = jnp.asarray(feats[layer_idx])
-            g = ku.T @ ku
+            g = jnp.matmul(ku.T, ku, precision=jax.lax.Precision.HIGHEST)
             g_sums[path] = g if g_sums[path] is None else g_sums[path] + g
             dm = _lora_delta(lora_flat.get(path), alpha)
             if dm is not None:
-                d = g @ dm
+                d = jnp.matmul(g, dm, precision=jax.lax.Precision.HIGHEST)
                 d_sums[path] = d if d_sums[path] is None else d_sums[path] + d
 
     active = [p for _, p in kv_paths if g_sums[p] is not None]
@@ -400,7 +404,7 @@ def merge_spatial_attention(parsed, concept_list, new_concept_cfg, tokenizer,
             g_sums[path] = g if g_sums[path] is None else g_sums[path] + g
             dm = _lora_delta(lora_flat.get(path), alpha)
             if dm is not None:
-                d = g @ dm
+                d = jnp.matmul(g, dm, precision=jax.lax.Precision.HIGHEST)
                 d_sums[path] = d if d_sums[path] is None else d_sums[path] + d
 
     active = [p for p in layer_paths if g_sums[p] is not None]

@@ -42,7 +42,10 @@ def gram(x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
     if mask is not None:
         xf = xf * mask.astype(jnp.float32)[..., None]
     xf = xf.reshape(-1, xf.shape[-1])
-    return jnp.dot(xf.T, xf, preferred_element_type=jnp.float32)
+    # precision pin: fp32 TPU matmuls default to bf16-input passes; this
+    # gram feeds an eigh with rank_tol=1e-6 (ADVICE r4 medium)
+    return jnp.dot(xf.T, xf, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 @jax.jit
