@@ -183,12 +183,11 @@ def merge_text_encoder(parsed, concept_list, new_concept_cfg, tokenizer,
     deltas = [d_sums[p] if d_sums[p] is not None else
               np.zeros(anchors[i].shape, np.float32)
               for i, p in enumerate(layer_paths)]
-    solved = solve_layer_group([g_sums[p] for p in layer_paths], deltas,
-                               anchors, lam=lam, method=method, iters=iters,
-                               device_out=True)
+    solved, residuals = solve_layer_group(
+        [g_sums[p] for p in layer_paths], deltas, anchors, lam=lam,
+        method=method, iters=iters, device_out=True, with_residuals=True)
     new_params = _apply_kernels(text_params, dict(zip(layer_paths, solved)))
-    _log_residuals('text_encoder', layer_paths, g_sums, deltas, solved,
-                   anchors)
+    _log_residuals('text_encoder', layer_paths, residuals)
     return new_params, dict(zip(layer_paths, solved))
 
 
@@ -273,10 +272,11 @@ def merge_kv_in_cross_attention(parsed, concept_list, new_concept_cfg,
     deltas = [d_sums[p] if d_sums[p] is not None
               else np.zeros(a.shape, np.float32)
               for p, a in zip(active, anchors)]
-    solved = solve_layer_group([g_sums[p] for p in active], deltas,
-                               anchors, lam=lam, device_out=True)
+    solved, residuals = solve_layer_group(
+        [g_sums[p] for p in active], deltas, anchors, lam=lam,
+        device_out=True, with_residuals=True)
     new_params = _apply_kernels(unet_params, dict(zip(active, solved)))
-    _log_residuals('unet cross-KV', active, g_sums, deltas, solved, anchors)
+    _log_residuals('unet cross-KV', active, residuals)
     return new_params, dict(zip(active, solved))
 
 
@@ -415,10 +415,11 @@ def merge_spatial_attention(parsed, concept_list, new_concept_cfg, tokenizer,
     deltas = [d_sums[p] if d_sums[p] is not None
               else np.zeros(a.shape, np.float32)
               for p, a in zip(active, anchors)]
-    solved = solve_layer_group([g_sums[p] for p in active], deltas,
-                               anchors, lam=lam, device_out=True)
+    solved, residuals = solve_layer_group(
+        [g_sums[p] for p in active], deltas, anchors, lam=lam,
+        device_out=True, with_residuals=True)
     new_params = _apply_kernels(unet_params, dict(zip(active, solved)))
-    _log_residuals('unet spatial', active, g_sums, deltas, solved, anchors)
+    _log_residuals('unet spatial', active, residuals)
     return new_params, dict(zip(active, solved))
 
 
@@ -440,35 +441,13 @@ def _apply_kernels(params, kernels: Dict[str, np.ndarray]):
     return new
 
 
-@jax.jit
-def _residual_core_batch(g, d, wn, w0):
-    """tr(ΔᵀGΔ) − 2tr(ΔᵀD) per layer over a stacked (B, F, O) group."""
-    dw = (wn - w0).astype(jnp.float32)
-    return (jnp.einsum('bfo,bfe,beo->b', dw, g.astype(jnp.float32), dw)
-            - 2.0 * jnp.einsum('bfo,bfo->b', dw, d.astype(jnp.float32)))
-
-
-def _log_residuals(tag: str, paths, g_sums, deltas, solved, anchors):
+def _log_residuals(tag: str, paths, residuals):
     """Per-layer fit residual Σ_c‖X_c(Wn − Wm_c)‖² up to the Wn-independent
-    constant: tr(ΔᵀGΔ) − 2tr(ΔᵀD) with Δ = Wn − W₀ — the optimization
-    diagnostic the reference logs after LBFGS (gradient_fusion.py:87-95).
-    `deltas` is the list of D = Σ_c G_c ΔWm_c aligned with `paths`.
-    Computed ON DEVICE per shape group with one scalar-vector fetch each
-    (per-layer host traces would re-fetch every gram over the tunnel)."""
-    order = {}
-    for i, a in enumerate(anchors):
-        order.setdefault(tuple(a.shape), []).append(i)
-    res = [0.0] * len(paths)
-    from mixofshow_tpu.ops.solve import stack_for_device
-    for idxs in order.values():
-        r = np.asarray(_residual_core_batch(
-            stack_for_device([g_sums[paths[i]] for i in idxs]),
-            stack_for_device([deltas[i] for i in idxs]),
-            stack_for_device([solved[i] for i in idxs]),
-            stack_for_device([anchors[i] for i in idxs])))
-        for j, i in enumerate(idxs):
-            res[i] = float(r[j])
-    for path, r in zip(paths, res):
+    constant — the optimization diagnostic the reference logs after LBFGS
+    (gradient_fusion.py:87-95). Values come from solve_layer_group
+    (with_residuals=True), computed while its stacked group buffers are
+    live so the multi-GB spatial grams/deltas are never re-stacked."""
+    for path, r in zip(paths, residuals):
         logger.info('%s %s: residual(core)=%.3e', tag, path, r)
 
 

@@ -104,6 +104,21 @@ def _batched_lbfgs(g, d, w0, iters: int):
     return jax.vmap(solve_one)(g, d, w0)
 
 
+@jax.jit
+def _residual_core_batch(g, d, wn, w0):
+    """tr(ΔᵀGΔ) − 2tr(ΔᵀD) per layer over a stacked (B, F, O) group — the
+    Wn-dependent part of Σ_c‖X_c(Wn − Wm_c)‖², the optimization diagnostic
+    the reference logs after LBFGS (gradient_fusion.py:87-95)."""
+    dw = (wn - w0).astype(jnp.float32)
+    # precision pin: TPU fp32 einsums default to bf16-input passes (~5e-4
+    # relative on this diagnostic, measured on-chip r5)
+    hi = jax.lax.Precision.HIGHEST
+    return (jnp.einsum('bfo,bfe,beo->b', dw, g.astype(jnp.float32), dw,
+                       precision=hi)
+            - 2.0 * jnp.einsum('bfo,bfo->b', dw, d.astype(jnp.float32),
+                               precision=hi))
+
+
 def stack_for_device(arrs) -> jnp.ndarray:
     """Stack a same-shape list to a device (B, ...) fp32 array. All-host
     lists stack host-side first so the tunnel sees ONE transfer; any device
@@ -120,7 +135,8 @@ def solve_layer_group(grams: List[np.ndarray], deltas: List[np.ndarray],
                       rank_tol: float = 1e-6,
                       method: str = 'exact',
                       iters: int = 50,
-                      device_out: bool = False) -> List[np.ndarray]:
+                      device_out: bool = False,
+                      with_residuals: bool = False):
     """Solve many layers at once, grouping same-shape layers into one
     batched (vmapped) solve. All arrays are kernel-layout (F, O);
     `deltas[i]` = Σ_c G_c (Wm_c − W₀) for layer i. Inputs may be host
@@ -130,13 +146,17 @@ def solve_layer_group(grams: List[np.ndarray], deltas: List[np.ndarray],
     device_out=True keeps the solved kernels on device (the fusion phases
     feed them straight back into device-resident params — fetching them
     per-layer over a remote-device tunnel costs ~1 s latency each, r4).
-    Residual reporting is the caller's job (the reference logs per-layer
-    residuals, gradient_fusion.py:87-95)."""
+    with_residuals=True additionally returns a per-layer list of the fit
+    residual core tr(ΔᵀGΔ) − 2tr(ΔᵀD) (the reference's post-LBFGS
+    diagnostic, gradient_fusion.py:87-95), computed here while the stacked
+    group buffers are live rather than re-stacked by the caller — the
+    spatial phase's grams/deltas are multi-GB on a 16 GB v5e (ADVICE r4)."""
     order: dict[Tuple[int, int], List[int]] = {}
     for i, (g, t) in enumerate(zip(grams, deltas)):
         order.setdefault((g.shape[0], t.shape[1]), []).append(i)
 
     out: List[np.ndarray] = [None] * len(grams)  # type: ignore
+    res: List[float] = [0.0] * len(grams)
     for shape, idxs in order.items():
         g = stack_for_device([grams[i] for i in idxs])
         d = stack_for_device([deltas[i] for i in idxs])
@@ -146,8 +166,12 @@ def solve_layer_group(grams: List[np.ndarray], deltas: List[np.ndarray],
         else:
             solved = _batched_solve(g, d, w, jnp.float32(lam),
                                     jnp.float32(rank_tol))
+        if with_residuals:
+            r = np.asarray(_residual_core_batch(g, d, solved, w))
+            for j, i in enumerate(idxs):
+                res[i] = float(r[j])
         if not device_out:
             solved = np.asarray(solved)
         for j, i in enumerate(idxs):
             out[i] = solved[j]
-    return out
+    return (out, res) if with_residuals else out

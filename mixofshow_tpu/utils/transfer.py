@@ -15,9 +15,10 @@ service at minutes per program — slower than the latency it saves.
 Threading needs no compiles at all and works for any tree shape.
 
 `fetch_tree` replaces `jax.tree.map(np.asarray, tree)` wherever the tree
-may hold device arrays. Host leaves pass through untouched, so it is
-safe on mixed trees. Fetches are bit-exact (`np.asarray` on the device
-buffer).
+may hold device arrays. Host leaves go through `np.asarray` (numpy
+arrays pass through zero-copy; python scalars/lists become arrays, same
+as the `jax.tree.map` it replaces), so it is safe on mixed trees.
+Fetches are bit-exact (`np.asarray` on the device buffer).
 """
 from __future__ import annotations
 
@@ -37,7 +38,8 @@ def fetch_tree(tree: Any, workers: int = 8) -> Any:
     leaves, treedef = jax.tree.flatten(tree)
     dev_idx = [i for i, leaf in enumerate(leaves)
                if isinstance(leaf, jax.Array)]
-    fetched = [leaf if leaf is None or i in dev_idx else np.asarray(leaf)
+    dev_set = set(dev_idx)
+    fetched = [leaf if i in dev_set else np.asarray(leaf)
                for i, leaf in enumerate(leaves)]
     if dev_idx:
         if len(dev_idx) == 1:

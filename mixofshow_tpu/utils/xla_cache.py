@@ -74,10 +74,17 @@ def enable_persistent_cache(path: str = None) -> bool:
         # r4). Persist everything on accelerator backends. On CPU keep the
         # 1 s floor: eager ops compile in ms there and would flood the dir
         # with thousands of KB-size entries (the pytest suite forces
-        # JAX_PLATFORMS=cpu).
-        on_cpu = 'cpu' in os.environ.get('JAX_PLATFORMS', '').lower()
+        # JAX_PLATFORMS=cpu). We must not query jax.default_backend() here —
+        # this runs at package import, and initializing the backend that
+        # early would break callers that set XLA flags afterwards (e.g.
+        # __graft_entry__.dryrun_multichip's host-device-count forcing). So
+        # the 0.0 floor applies only when JAX_PLATFORMS *explicitly* names a
+        # non-CPU platform; unset (where JAX may silently fall back to CPU)
+        # keeps the conservative 1 s floor (ADVICE r4).
+        platforms = os.environ.get('JAX_PLATFORMS', '').lower()
+        explicit_accel = bool(platforms) and 'cpu' not in platforms
         jax.config.update('jax_persistent_cache_min_compile_time_secs',
-                          1.0 if on_cpu else 0.0)
+                          0.0 if explicit_accel else 1.0)
         return True
     except Exception as e:
         # Breadcrumb: a silent failure here means every run silently repays
