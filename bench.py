@@ -257,16 +257,26 @@ def bench_fusion(emit=True, size=None, steps=None):
 
 
 def bench_regional(emit=True):
-    import jax.numpy as jnp
+    """Regional sampling throughput at the NORTH-STAR shape by default:
+    512x512, 3 regions, keypose, 50 steps — BASELINE.md metric 1 measured on
+    the reference flagship pipeline (regionally_sample.sh drives this
+    pipeline; the 2 img/s/chip target is defined at 512^2/50 steps).
+    BENCH_HEIGHT/BENCH_WIDTH select other shapes (1024x2048 = the reference
+    demo canvas, recorded under its own prior name). Reports serial batch-1,
+    batched (num_images_per_prompt=BENCH_BATCH), and 1-deep pipelined
+    serving numbers, like bench_sample."""
     from mixofshow_tpu.models.t2i_adapter import (T2IAdapterConfig,
                                                   init_t2i_adapter)
     from mixofshow_tpu.pipelines import (RegionallyT2IAdapterPipeline,
                                          init_concepts)
     from mixofshow_tpu.text import CLIPTokenizer
 
-    height = int(os.environ.get('BENCH_HEIGHT', '1024'))
-    width = int(os.environ.get('BENCH_WIDTH', '2048'))
+    height = int(os.environ.get('BENCH_HEIGHT', '512'))
+    width = int(os.environ.get('BENCH_WIDTH', '512'))
     steps = int(os.environ.get('BENCH_STEPS', '50'))
+    # batched serving config: images of one layout batch through one scan
+    batch = int(os.environ.get('BENCH_BATCH', '8' if height * width
+                               <= 512 * 512 else '2'))
 
     (ucfg, ccfg, vcfg), (unet, te, vae) = _init_sd15()
     tok = CLIPTokenizer()
@@ -297,26 +307,70 @@ def bench_regional(emit=True):
          ('a <thanos1> <thanos2>, with armor', 'low quality',
           [0.02, 0.68, 0.95, 0.97])])]
     keypose = np.zeros((height, width, 3), np.uint8)
+    cache_before = _cache_entries()
+    t_compile0 = time.time()
     img = pipe(prompt, keypose_adapter_input=keypose, height=height,
                width=width, num_inference_steps=steps, seed=0)
     assert np.isfinite(img).all()
+    compile_s = time.time() - t_compile0
     n_runs = int(os.environ.get('BENCH_RUNS', '2'))
     t0 = time.time()
     for i in range(n_runs):
         img = pipe(prompt, keypose_adapter_input=keypose, height=height,
                    width=width, num_inference_steps=steps, seed=i + 1)
     dt = (time.time() - t0) / n_runs
+
+    # batched: num_images_per_prompt through one denoise scan
+    batched_ips = None
+    if batch > 1:
+        img = pipe(prompt, keypose_adapter_input=keypose, height=height,
+                   width=width, num_inference_steps=steps, seed=10,
+                   num_images_per_prompt=batch)  # compile
+        t0 = time.time()
+        for i in range(n_runs):
+            img = pipe(prompt, keypose_adapter_input=keypose, height=height,
+                       width=width, num_inference_steps=steps, seed=11 + i,
+                       num_images_per_prompt=batch)
+        batched_ips = batch / ((time.time() - t0) / n_runs)
+
+    # pipelined serving: 1-deep overlapped submits at the batched config
+    pend = pipe.submit(prompt, keypose_adapter_input=keypose, height=height,
+                       width=width, num_inference_steps=steps, seed=100,
+                       num_images_per_prompt=batch, output_type='pil')
+    n_pipe = n_runs + 1
+    done = 0
+    t0 = time.time()
+    for i in range(n_pipe):
+        nxt = pipe.submit(prompt, keypose_adapter_input=keypose,
+                          height=height, width=width,
+                          num_inference_steps=steps, seed=101 + i,
+                          num_images_per_prompt=batch,
+                          output_type='pil') if i < n_pipe - 1 else None
+        done += len(pend.result())
+        pend = nxt
+    serve_ips = done / (time.time() - t0)
+
+    north_star = height == 512 and width == 512
+    # the target is 2 img/s/chip at 512^2; other shapes scale by pixel count
+    target = 2.0 if north_star else 2.0 * 512 * 512 / (height * width)
     rec = {
         'metric': f'regional {height}x{width} 3-region {steps}-step '
                   'images/sec/chip',
         'value': round(1.0 / dt, 4), 'unit': 'img/s',
-        'vs_baseline': round((1.0 / dt) / (2.0 * 512 * 512 /
-                                           (height * width)), 4),
-        'baseline_note': 'vs 2 img/s/chip at 512^2 scaled by pixel count',
+        'vs_baseline': round((1.0 / dt) / target, 4),
+        'baseline_note': ('vs 2 img/s/chip at 512^2 (BASELINE.md north '
+                          'star)' if north_star else
+                          'vs 2 img/s/chip at 512^2 scaled by pixel count'),
+        'batched_img_s': None if batched_ips is None
+        else round(batched_ips, 4),
+        'pipelined_serving_img_s': round(serve_ips, 4),
+        'batch': batch,
+        'xla_cache_entries': cache_before,
+        'compile_or_warmup_s': round(compile_s, 1),
         **_device_info()}
     if emit:
         print(json.dumps(rec))
-    _record_prior('regional', rec)
+    _record_prior('regional' if north_star else 'regional_demo', rec)
     return rec
 
 
@@ -448,8 +502,10 @@ def main():
     for name, why in (
             ('train', 'cheap enough to re-measure most rounds; the prior '
                       'covers a budget-exhausted skip'),
-            ('regional', 'the reference flagship workload, 30 s/image at '
-                         'the 1024x2048/3-region demo shape'),
+            ('regional', 'the north-star workload: 512x512/3-region/50-step '
+                         'regional sampling (BASELINE.md metric 1)'),
+            ('regional_demo', 'the reference demo canvas, 1024x2048/'
+                              '3-region — ~30 s/image'),
             ('fusion', 'measured 704 s cold through the remote compile '
                        'service even at the shrunk driver workload'),
             ('fusion_full', 'the full-size 512px/20-step compose — too big '

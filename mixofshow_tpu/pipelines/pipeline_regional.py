@@ -45,6 +45,17 @@ from mixofshow_tpu.pipelines.concepts import (NUM_CROSS_ATTENTION_LAYERS,
 from mixofshow_tpu.text.tokenizer import CLIPTokenizer
 
 
+def _repeat_cfg(embeds, n: int, use_cfg: bool):
+    """Repeat (2B or B, 16, 77, C) embeddings n× per image, keeping the
+    [uncond; cond] halves grouped (reference repeat_interleave semantics,
+    …t2iadapter.py:460)."""
+    if not use_cfg:
+        return jnp.repeat(embeds, n, axis=0)
+    negh, posh = jnp.split(embeds, 2)
+    return jnp.concatenate([jnp.repeat(negh, n, axis=0),
+                            jnp.repeat(posh, n, axis=0)])
+
+
 def _box_mask(box, h: int, w: int, dtype=jnp.float32):
     """Rasterize a normalized (start_h, start_w, end_h, end_w) box with the
     reference's ceil/floor rounding (…t2iadapter.py:37-39)."""
@@ -328,7 +339,8 @@ class RegionallyT2IAdapterPipeline:
     # ------------------------------------------------------------- adapters
     def _adapter_features(self, keypose_input, keypose_weight,
                           region_keypose_weight, sketch_input, sketch_weight,
-                          region_sketch_weight, height, width, use_cfg):
+                          region_sketch_weight, height, width, use_cfg,
+                          num_images: int = 1):
         states = []
         if keypose_input is not None:
             feats = t2i_adapter_apply(self.keypose_adapter,
@@ -354,6 +366,10 @@ class RegionallyT2IAdapterPipeline:
                     float(weight))
                 f = f * jnp.asarray(wmap, f.dtype)[None, :, :, None]
                 total = f if total is None else total + f
+            if num_images > 1:
+                # adapter conditions are identical across the images of one
+                # prompt — tile to the sampling batch
+                total = jnp.repeat(total, num_images, axis=0)
             if use_cfg:
                 total = jnp.concatenate([total, total])
             merged.append(total)
@@ -373,14 +389,26 @@ class RegionallyT2IAdapterPipeline:
                  num_inference_steps: int = 50,
                  guidance_scale: float = 7.5,
                  negative_prompt: Optional[Union[str, Sequence[str]]] = None,
+                 num_images_per_prompt: int = 1,
                  latents: Optional[np.ndarray] = None,
                  seed: int = 0,
                  output_type: str = 'np'):
+        """Sample `num_images_per_prompt` images of the regional layout
+        (reference surface …t2iadapter.py:316,460: repeat_interleave over
+        prompt embeddings). All images share the prompt/region/adapter
+        conditions and differ in their latent noise; they batch through one
+        denoise scan, so fixed per-call costs (dispatch, region rasterize,
+        solver tables) amortize across the batch."""
         use_cfg = guidance_scale > 1.0
+        n = int(num_images_per_prompt)
         neg = negative_prompt[0] if isinstance(negative_prompt,
                                                (list, tuple)) else \
             (negative_prompt or '')
         prompt_embeds, region_list = self.encode_region_prompt(prompt, neg)
+        if n > 1:
+            prompt_embeds = _repeat_cfg(prompt_embeds, n, use_cfg)
+            region_list = [(_repeat_cfg(e, n, use_cfg), box)
+                           for e, box in region_list]
 
         keypose_np = None if keypose_adapter_input is None else \
             preprocess_adapter_image(keypose_adapter_input, height, width)
@@ -389,11 +417,11 @@ class RegionallyT2IAdapterPipeline:
         adapter_features = self._adapter_features(
             keypose_np, keypose_adaptor_weight, region_keypose_adaptor_weight,
             sketch_np, sketch_adaptor_weight, region_sketch_adaptor_weight,
-            height, width, use_cfg)
+            height, width, use_cfg, num_images=n)
 
         h, w = height // 8, width // 8
         if latents is None:
-            lat = jax.random.normal(jax.random.PRNGKey(seed), (1, h, w, 4),
+            lat = jax.random.normal(jax.random.PRNGKey(seed), (n, h, w, 4),
                                     jnp.float32)
         else:
             lat = jnp.asarray(latents, jnp.float32)
@@ -407,15 +435,36 @@ class RegionallyT2IAdapterPipeline:
             self.unet_config, self.scheduler, use_cfg,
             self.unet_config.attention_heads)
 
-        if output_type == 'latent':
-            return np.asarray(final)
+        if output_type.startswith('_defer:'):
+            return self._materialize(final, output_type[7:], fetch=False)
+        return self._materialize(final, output_type, fetch=True)
+
+    def _materialize(self, final, output_type: str, fetch: bool):
+        """Decode latents per output_type; fetch=False keeps everything
+        dispatched on device (async) for `submit`."""
         from mixofshow_tpu.pipelines.pipeline_edlora import (_decode,
                                                              _decode_uint8)
+        if output_type == 'latent':
+            return np.asarray(final) if fetch else final
         if output_type == 'pil':
-            pixels = np.asarray(_decode_uint8(
-                self.vae_params, final, self.vae_config, dtype=self.dtype))
+            pixels = _decode_uint8(self.vae_params, final, self.vae_config,
+                                   dtype=self.dtype)
+            if not fetch:
+                return pixels
             from PIL import Image
-            return [Image.fromarray(x) for x in pixels]
+            return [Image.fromarray(x) for x in np.asarray(pixels)]
         img = _decode(self.vae_params, final, self.vae_config,
                       dtype=self.dtype)
-        return np.asarray(img).astype(np.float32)
+        return np.asarray(img).astype(np.float32) if fetch else img
+
+    def submit(self, *args, output_type: str = 'pil', **kwargs):
+        """Serving-throughput entry point, mirroring `EDLoRAPipeline.submit`:
+        dispatch the full regional program (encode → adapter → scan denoise →
+        decode) WITHOUT fetching. Submitting the next layout while the
+        previous `PendingSample.result()` is outstanding overlaps host work
+        (tokenization, region parsing, adapter preprocessing, PIL) with
+        device compute; device work stays strictly serial."""
+        from mixofshow_tpu.pipelines.pipeline_edlora import PendingSample
+        dev = self.__call__(*args, output_type='_defer:' + output_type,
+                            **kwargs)
+        return PendingSample(dev, output_type)

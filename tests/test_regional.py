@@ -119,6 +119,48 @@ def test_region_rewrite_changes_inside_box_only(pipe):
     assert d_in > d_out
 
 
+def test_regional_num_images_per_prompt_matches_separate_runs(pipe):
+    """Batched sampling (reference num_images_per_prompt surface,
+    …t2iadapter.py:316,460) must equal per-image runs on the same latents:
+    images are independent rows through every batched op."""
+    regions = [('a <a1> <a2> person', 'lowres', [0.0, 0.0, 1.0, 0.5])]
+    lat = np.random.default_rng(7).normal(size=(2, 8, 8, 4)).astype(
+        np.float32)
+    batched = pipe(_prompt(regions), height=64, width=64,
+                   num_inference_steps=2, num_images_per_prompt=2,
+                   latents=lat, output_type='latent')
+    assert batched.shape == (2, 8, 8, 4) and np.isfinite(batched).all()
+    for i in range(2):
+        single = pipe(_prompt(regions), height=64, width=64,
+                      num_inference_steps=2, latents=lat[i:i + 1],
+                      output_type='latent')
+        np.testing.assert_allclose(batched[i:i + 1], single, atol=2e-4)
+    # different noise → different images
+    assert not np.allclose(batched[0], batched[1], atol=1e-3)
+
+
+def test_regional_num_images_with_adapter_and_seeded_noise(pipe):
+    from PIL import Image
+    regions = [('a <a1> <a2> person', '', [0.0, 0.0, 1.0, 0.5])]
+    keypose = Image.fromarray(np.zeros((64, 64, 3), np.uint8))
+    imgs = pipe(_prompt(regions), height=64, width=64,
+                num_inference_steps=1, num_images_per_prompt=3,
+                keypose_adapter_input=[keypose], seed=11, output_type='pil')
+    assert len(imgs) == 3
+    assert all(np.asarray(im).shape == (64, 64, 3) for im in imgs)
+
+
+def test_regional_submit_matches_call(pipe):
+    """submit() defers fetch but must produce identical images."""
+    regions = [('a <a1> <a2>', '', [0.0, 0.5, 1.0, 1.0])]
+    want = pipe(_prompt(regions), height=64, width=64,
+                num_inference_steps=2, seed=4, output_type='np')
+    pend = pipe.submit(_prompt(regions), height=64, width=64,
+                       num_inference_steps=2, seed=4, output_type='np')
+    got = pend.result()
+    np.testing.assert_array_equal(want, got)
+
+
 def test_region_layouts_share_compiled_program(pipe):
     """Same region COUNT, different boxes → no recompile (traced boxes)."""
     lat = np.random.default_rng(5).normal(size=(1, 8, 8, 4)).astype(np.float32)

@@ -9,10 +9,14 @@ three big sampling wins of round 2 (fp32-UNet-in-scan, flash layout
 transposes, the d=40 attention MXU floor).
 
 Targets (--target):
-  unet    one b<B> CFG-batch UNet eval (the denoise step body)
-  scan    the full 50-step _sample_loop
-  vae     VAE decode at b<B> 512^2
-  train   the full compiled ED-LoRA train step at b<B> 512^2
+  unet      one b<B> CFG-batch UNet eval (the denoise step body)
+  scan      the full 50-step _sample_loop
+  vae       VAE decode at b<B> 512^2
+  train     the full compiled ED-LoRA train step at b<B> 512^2
+  regional  the full 50-step regional denoise scan (--regions boxes,
+            keypose adapter features, region-rewrite cross-attention) at
+            --height x --width, sample batch B/2 — the reference flagship
+            workload (regionally_sample.sh)
 
 Timing notes for tunneled TPUs (axon): block_until_ready does NOT reliably
 wait, so wall-clock numbers here come from fetch-synchronized marginal
@@ -40,7 +44,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _build(target: str, batch: int):
+def _build(target: str, batch: int, height: int = 512, width: int = 512,
+           regions: int = 3):
     import jax
     import jax.numpy as jnp
 
@@ -49,6 +54,52 @@ def _build(target: str, batch: int):
     from mixofshow_tpu.models.vae import VAEConfig, init_vae, vae_decode
 
     rng = np.random.default_rng(0)
+    if target == 'regional':
+        # the full regional denoise scan: CFG sample batch B/2, `regions`
+        # near-full-height boxes, keypose adapter features, region-rewrite
+        # cross-attention — the device side of RegionallyT2IAdapterPipeline
+        # at the given canvas (512x512 = the north-star shape; 1024x2048 =
+        # the reference demo, regionally_sample.sh:48-90)
+        from mixofshow_tpu.diffusion import DPMSolverMultistep
+        from mixofshow_tpu.models.t2i_adapter import (T2IAdapterConfig,
+                                                      init_t2i_adapter,
+                                                      t2i_adapter_apply)
+        from mixofshow_tpu.pipelines.pipeline_regional import \
+            _regional_sample_loop
+        from mixofshow_tpu.utils.initcache import cached_init
+        ucfg = UNetConfig.sd15()
+        params = to_device(cast_floats(
+            cached_init('unet_sd15_s0_f32', lambda: init_unet(0, ucfg)),
+            jnp.bfloat16))
+        b = max(1, batch // 2)  # sample batch; CFG doubles inside the loop
+        ctx = jnp.asarray(rng.normal(size=(2 * b, 16, 77, 768)), jnp.bfloat16)
+        region_list = tuple(
+            (jnp.asarray(rng.normal(size=(2 * b, 16, 77, 768)), jnp.bfloat16),
+             jnp.asarray([0.02, 0.05 + 0.33 * i, 0.95, 0.30 + 0.33 * i],
+                         jnp.float32))
+            for i in range(regions))
+        kcfg = T2IAdapterConfig.keypose()
+        adapter = to_device(cast_floats(
+            cached_init('t2i_keypose_s3_f32',
+                        lambda: init_t2i_adapter(3, kcfg)), jnp.bfloat16))
+        feats = t2i_adapter_apply(
+            adapter, jnp.zeros((1, height, width, 3), jnp.bfloat16), kcfg)
+        feats = [jnp.concatenate([jnp.repeat(f, b, 0)] * 2) for f in feats]
+        solver = DPMSolverMultistep.create()
+        coeffs = solver.step_coeffs(50)
+
+        def fn(bundle, lats):
+            # conditions ride in as ARGUMENTS (closure constants would embed
+            # ~60 MB in the HLO and slow the remote compile service)
+            p, ctx_, rl_, feats_ = bundle
+            return _regional_sample_loop(
+                p, ctx_, rl_, tuple(feats_), lats.astype(jnp.float32),
+                jnp.float32(7.5), coeffs, ucfg, solver, True,
+                ucfg.attention_heads)
+        lats = jnp.asarray(
+            rng.normal(size=(b, height // 8, width // 8, 4)), jnp.float32)
+        return (jax.jit(fn), (params, ctx, region_list, tuple(feats)),
+                lats)
     if target in ('unet', 'scan'):
         ucfg = UNetConfig.sd15()
         params = to_device(cast_floats(init_unet(0, ucfg), jnp.bfloat16))
@@ -212,11 +263,18 @@ def _attribute(trace_dir: str, hlo_text: str, n_runs: int, top: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--target', choices=('unet', 'scan', 'vae', 'train'),
+    ap.add_argument('--target',
+                    choices=('unet', 'scan', 'vae', 'train', 'regional'),
                     default='unet')
     ap.add_argument('--batch', type=int, default=8,
-                    help='CFG batch for unet (2x sample batch), sample '
-                         'batch for vae/scan')
+                    help='CFG batch for unet/regional (2x sample batch), '
+                         'sample batch for vae/scan')
+    ap.add_argument('--height', type=int, default=512,
+                    help='canvas height (regional target)')
+    ap.add_argument('--width', type=int, default=512,
+                    help='canvas width (regional target)')
+    ap.add_argument('--regions', type=int, default=3,
+                    help='region count (regional target)')
     ap.add_argument('--trace-dir', default='/tmp/mixofshow_prof')
     ap.add_argument('--runs', type=int, default=3)
     ap.add_argument('--top', type=int, default=30)
@@ -224,7 +282,8 @@ def main():
 
     import jax
 
-    fn, params, x = _build(args.target, args.batch)
+    fn, params, x = _build(args.target, args.batch, args.height, args.width,
+                           args.regions)
     t0 = time.time()
     out = fn(params, x)
     _ = np.asarray(out).ravel()[0]
