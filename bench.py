@@ -441,12 +441,18 @@ def bench_sample():
                           quantize=os.environ.get('BENCH_QUANT') or None)
 
     prompt = ['a photo of <c1> <c2> on a mountain'] * batch
+    # environment-state fields (VERDICT r4 item 4): cache population at
+    # start + wall-clock of the warmup call (≈ compile cost when cold) +
+    # host 1-min load make cold-vs-warm runs and cross-round drift auditable
+    cache_before = _cache_entries()
+    t_compile0 = time.time()
     # compile; 'pil' is the reference pipeline's default output_type, so the
     # metric includes decode + uint8 image materialization like a real run
     imgs = pipe(prompt, height=size, width=size, num_inference_steps=steps,
                 seed=0, output_type='pil')
     arr = np.asarray(imgs[0])
     assert arr.shape == (size, size, 3) and arr.std() > 0
+    compile_s = time.time() - t_compile0
 
     n_runs = int(os.environ.get('BENCH_RUNS', '3'))
     t0 = time.time()
@@ -475,12 +481,19 @@ def bench_sample():
         pend = nxt
     serve_ips = done / (time.time() - t0)
 
+    try:
+        host_load_1m = round(os.getloadavg()[0], 2)
+    except OSError:
+        host_load_1m = None
     return {
         'metric': f'{size}x{size} {steps}-step b{batch} images/sec/chip',
         'value': round(imgs_per_sec, 4),
         'unit': 'img/s',
         'vs_baseline': round(imgs_per_sec / 2.0, 4),
         'pipelined_serving_img_s': round(serve_ips, 4),
+        'xla_cache_entries': cache_before,
+        'compile_or_warmup_s': round(compile_s, 1),
+        'host_load_1m': host_load_1m,
         **_device_info(),
     }
 

@@ -133,6 +133,9 @@ def parse_args():
     parser.add_argument('--height', default=None, type=int)
     parser.add_argument('--width', default=None, type=int)
     parser.add_argument('--num_inference_steps', default=50, type=int)
+    parser.add_argument('--num_images_per_prompt', default=1, type=int,
+                        help='batch N images of the layout through one '
+                             'denoise scan (different noise per image)')
     parser.add_argument('--model_size', default='sd15', type=str,
                         choices=['sd15', 'tiny'])
     return parser.parse_args()
@@ -185,6 +188,7 @@ def main():
         region_sketch_adaptor_weight=args.region_sketch_adaptor_weight,
         height=height, width=width,
         num_inference_steps=args.num_inference_steps,
+        num_images_per_prompt=args.num_images_per_prompt,
         seed=args.seed, output_type='pil')
 
     configs = [
@@ -203,15 +207,17 @@ def main():
     ]
     hash_code = hashlib.sha256(''.join(configs).encode()).hexdigest()[:8]
     save_prompt = input_prompt[0][0].replace(' ', '_')
-    save_name = f'{save_prompt}---{args.suffix}---{hash_code}.png'
     save_dir = os.path.join(args.save_dir or 'results/regional',
                             f'seed_{args.seed}')
     os.makedirs(save_dir, exist_ok=True)
-    images[0].save(os.path.join(save_dir, save_name))
-    with open(os.path.join(save_dir, save_name.replace('.png', '.txt')),
-              'w') as fw:
-        fw.writelines(configs)
-    print(f'saved {os.path.join(save_dir, save_name)}')
+    for i, image in enumerate(images):
+        idx = f'---{i}' if len(images) > 1 else ''
+        save_name = f'{save_prompt}---{args.suffix}---{hash_code}{idx}.png'
+        image.save(os.path.join(save_dir, save_name))
+        with open(os.path.join(save_dir, save_name.replace('.png', '.txt')),
+                  'w') as fw:
+            fw.writelines(configs)
+        print(f'saved {os.path.join(save_dir, save_name)}')
 
 
 if __name__ == '__main__':

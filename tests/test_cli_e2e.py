@@ -167,3 +167,31 @@ val:
     pngs = list((tmp_path / 'regional/seed_3').glob('*.png'))
     assert len(pngs) == 1
     assert Image.open(pngs[0]).size == (64, 64)
+
+    # --- 5. regional with BOTH adapter conditions active (the reference
+    # demo drives keypose + sketch together, reference
+    # regionally_controlable_sampling.py:62-63) and a batched
+    # num_images_per_prompt>1 — asserts N distinct output PNGs
+    Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(
+        tmp_path / 'pose.png')
+    Image.fromarray(np.zeros((64, 64), np.uint8)).save(
+        tmp_path / 'sketch.png')
+    run_cli('regionally_controlable_sampling.py',
+            ['--pretrained_model', str(fused), '--model_size', 'tiny',
+             '--num_inference_steps', '2',
+             '--keypose_condition', 'pose.png',
+             '--keypose_adaptor_weight', '0.8',
+             '--sketch_condition', 'sketch.png',
+             '--sketch_adaptor_weight', '0.6',
+             '--region_sketch_adaptor_weight', '[0,0,32,32]-0.5',
+             '--num_images_per_prompt', '2',
+             '--prompt', 'two friends', '--negative_prompt', 'low quality',
+             '--prompt_rewrite',
+             '[a <a1> <a2>]-*-[bad]-*-[0,0,64,32]|[a rock]-*-[]-*-[0,32,64,64]',
+             '--save_dir', 'regional', '--seed', '4', '--suffix', 'e2e'],
+            str(tmp_path))
+    pngs = sorted((tmp_path / 'regional/seed_4').glob('*.png'))
+    assert len(pngs) == 2
+    a, b = (np.asarray(Image.open(p), np.int32) for p in pngs)
+    assert a.shape == (64, 64, 3)
+    assert not np.array_equal(a, b)  # different noise per image
