@@ -321,9 +321,12 @@ class EDLoRAPipeline:
                  callback=None,
                  callback_steps: int = 1,
                  seed: int = 0,
-                 output_type: str = 'np'):
-        """Sample images. Returns (B, H, W, 3) float np array in [0,1]
-        ('np'), uint8 PIL list ('pil'), or raw latents ('latent').
+                 output_type: str = 'pil'):
+        """Sample images. Returns a uint8 PIL list ('pil', the default —
+        matching the reference surface, pipeline_edlora.py:207), a
+        (B, H, W, 3) float np array in [0,1] ('np'), or raw latents
+        ('latent'). 'pil' is also the fast fetch path: pixels are uint8 on
+        device, so the host transfer is 4x smaller than 'np'.
 
         `latents` accepts externally supplied noise — NCHW (B,4,h,w) like the
         reference (pipeline_edlora.py:204) or NHWC — which is the fp32-parity

@@ -392,7 +392,7 @@ class RegionallyT2IAdapterPipeline:
                  num_images_per_prompt: int = 1,
                  latents: Optional[np.ndarray] = None,
                  seed: int = 0,
-                 output_type: str = 'np'):
+                 output_type: str = 'pil'):
         """Sample `num_images_per_prompt` images of the regional layout
         (reference surface …t2iadapter.py:316,460: repeat_interleave over
         prompt embeddings). All images share the prompt/region/adapter

@@ -175,7 +175,7 @@ def test_compose_concepts_end_to_end(tmp_path):
         tokenizer=tok, unet_config=ucfg, text_config=ccfg_big,
         vae_config=vcfg, new_concept_cfg=new_cfg, dtype=jnp.float32)
     img = pipe('a photo of <a1> <a2> and <b1> <b2>', height=64, width=64,
-               num_inference_steps=2, seed=0)
+               num_inference_steps=2, seed=0, output_type='np')
     assert img.shape == (1, 64, 64, 3) and np.isfinite(img).all()
 
 

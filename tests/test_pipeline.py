@@ -52,7 +52,7 @@ def test_init_concepts_layout():
 
 def test_pipeline_sampling_shapes(pipe):
     img = pipe('a photo of <potter1> <potter2>', height=64, width=64,
-               num_inference_steps=3, seed=0)
+               num_inference_steps=3, seed=0, output_type='np')
     assert img.shape == (1, 64, 64, 3)
     assert np.isfinite(img).all() and img.min() >= 0 and img.max() <= 1
 
@@ -123,7 +123,7 @@ def test_pipeline_attention_controller(pipe):
     pipe.set_controller(store)
     try:
         img = pipe('a photo of <potter1> <potter2>', height=64, width=64,
-                   num_inference_steps=2, seed=0)
+                   num_inference_steps=2, seed=0, output_type='np')
     finally:
         pipe.set_controller(None)
     assert np.isfinite(img).all()
@@ -148,6 +148,7 @@ def test_pipeline_callback_and_num_images(pipe):
     seen = []
     img = pipe('a photo of <potter1> <potter2>', height=64, width=64,
                num_inference_steps=2, seed=0, num_images_per_prompt=2,
+               output_type='np',
                callback=lambda i, t, lat: seen.append((i, t, lat.shape)))
     assert img.shape == (2, 64, 64, 3)
     assert [s[0] for s in seen] == [0, 1]
@@ -158,9 +159,9 @@ def test_pipeline_prompt_embeds_passthrough(pipe):
     """prompt_embeds bypasses encoding (reference pipeline_edlora.py:201)."""
     emb = pipe.encode_prompt('a photo of <potter1> <potter2>', None, True)
     img_a = pipe(prompt_embeds=emb, height=64, width=64,
-                 num_inference_steps=2, seed=3)
+                 num_inference_steps=2, seed=3, output_type='np')
     img_b = pipe('a photo of <potter1> <potter2>', height=64, width=64,
-                 num_inference_steps=2, seed=3)
+                 num_inference_steps=2, seed=3, output_type='np')
     np.testing.assert_allclose(img_a, img_b, atol=1e-5)
 
 

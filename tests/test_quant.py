@@ -119,7 +119,7 @@ def test_pipeline_quantized_smoke():
                           new_concept_cfg=cfg, concept_embedding=table,
                           dtype=jnp.float32, quantize='int8')
     img = pipe('a photo of <q1> <q2>', height=64, width=64,
-               num_inference_steps=2, seed=0)
+               num_inference_steps=2, seed=0, output_type='np')
     assert img.shape == (1, 64, 64, 3)
     assert np.isfinite(img).all()
     with pytest.raises(ValueError):
@@ -159,7 +159,8 @@ def test_regional_pipeline_quantized_smoke():
         dtype=jnp.float32, quantize='int8')
     prompt = [('a scene', [('a <r1> <r2>', 'bad', [0.1, 0.1, 0.9, 0.5])])]
     img = pipe(prompt, keypose_adapter_input=np.zeros((64, 64, 3), np.uint8),
-               height=64, width=64, num_inference_steps=2, seed=0)
+               height=64, width=64, num_inference_steps=2, seed=0,
+               output_type='np')
     assert img.shape == (1, 64, 64, 3) and np.isfinite(img).all()
 
 

@@ -82,7 +82,7 @@ def _prompt(regions):
 
 def test_regional_sampling_no_regions(pipe):
     img = pipe(_prompt([]), height=64, width=64, num_inference_steps=2,
-               seed=0)
+               seed=0, output_type='np')
     assert img.shape == (1, 64, 64, 3) and np.isfinite(img).all()
 
 
@@ -96,7 +96,7 @@ def test_regional_sampling_with_regions_and_adapters(pipe):
     img = pipe(_prompt(regions), height=64, width=64, num_inference_steps=2,
                keypose_adapter_input=[keypose], keypose_adaptor_weight=0.8,
                region_keypose_adaptor_weight='[0,0,32,32]-0.5',
-               seed=0)
+               seed=0, output_type='np')
     assert img.shape == (1, 64, 64, 3) and np.isfinite(img).all()
 
 

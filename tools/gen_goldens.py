@@ -73,14 +73,14 @@ def edlora_sample():
     pipe = _pipe(with_lora=False)
     img = pipe([PROMPT, 'a castle'], height=64, width=64,
                num_inference_steps=2, guidance_scale=4.0,
-               latents=_latents())
+               latents=_latents(), output_type='np')
     return np.asarray(img, np.float32)
 
 
 def edlora_sample_with_lora():
     pipe = _pipe(with_lora=True)
     img = pipe([PROMPT], height=64, width=64, num_inference_steps=2,
-               guidance_scale=4.0, latents=_latents(1))
+               guidance_scale=4.0, latents=_latents(1), output_type='np')
     return np.asarray(img, np.float32)
 
 
@@ -123,7 +123,7 @@ def regional_sample():
                keypose_adapter_input=[Image.fromarray(keypose)],
                keypose_adaptor_weight=0.8,
                height=64, width=64, num_inference_steps=2,
-               guidance_scale=4.0, seed=5)
+               guidance_scale=4.0, seed=5, output_type='np')
     return np.asarray(img, np.float32)
 
 

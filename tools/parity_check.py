@@ -228,7 +228,8 @@ def main(argv=None):
                     num_inference_steps=args.steps,
                     guidance_scale=args.guidance,
                     negative_prompt=[NEGATIVE_PROMPT] * len(chunk),
-                    latents=np.stack([c['latents'] for c in chunk]))
+                    latents=np.stack([c['latents'] for c in chunk]),
+                    output_type='np')  # the fp32-parity protocol surface
         for c, img in zip(chunk, np.asarray(imgs, np.float32)):
             name = _protocol_name(c['prompts'], args.guidance, args.steps,
                                   int(c['indices']))
