@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -126,7 +127,29 @@ def _pad_axis(x, size, axis):
 
 
 def _tile_sizes(h: int, w: int):
-    tw = min(w, 128)
+    """Tile geometry, chosen per grid size (measured A/B:
+    tools/bench_region_kernel.py on v5e, 3 column-strip boxes):
+
+      * whole grid fits one 1024-token tile (res ≤ 32 at 512²) → ONE
+        full-grid tile. Fewer programs beat fewer attends here: splitting
+        res32 into two 32×16 tiles measured 1.25 ms vs 0.78 single-tile
+        (N=1024 keeps full sublanes and the K/V loads amortize).
+      * larger grids → TALL-NARROW 64×16 column strips. Region boxes are
+        typically column strips (people side by side —
+        regionally_sample.sh:66-74 and both bench layouts), so narrow
+        tiles overlap fewer regions and `@pl.when` skips more region
+        attends: at the 512² res-64 grid, full-width 16×64 tiles overlap
+        all 3 boxes (4 attends/tile, 2.61 ms); 64×16 strips average ~1.5
+        (2.08 ms). tw=16 keeps the (tw, d) minor block a sublane multiple.
+
+    MOS_REGION_TILE_W overrides the narrow width for A/B."""
+    env = os.environ.get('MOS_REGION_TILE_W')
+    if env:
+        tw = min(w, int(env))
+    elif h * w <= 1024:
+        tw = w
+    else:
+        tw = min(w, 16)
     th = max(1, min(h, 1024 // tw))
     return th, tw
 

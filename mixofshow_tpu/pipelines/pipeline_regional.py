@@ -299,41 +299,59 @@ class RegionallyT2IAdapterPipeline:
                                to_device(cast_floats(sketch_adapter,
                                                      dtype)))
         self.sketch_config = sketch_config
+        self._encode_memo = None  # last (layout key, encoded) — see below
 
     def set_new_concept_cfg(self, new_concept_cfg=None):
         self.new_concept_cfg = new_concept_cfg
+        self._encode_memo = None  # binding depends on the concept cfg
 
     # ------------------------------------------------------------- encoding
-    def _encode_layerwise(self, prompt: str):
-        bound = bind_concept_prompt([prompt], self.new_concept_cfg)
-        ids = jnp.asarray(self.tokenizer(bound))
-        emb = clip_text_encode(self.text_encoder_params, ids,
-                               self.text_config)
-        return emb.reshape(1, NUM_CROSS_ATTENTION_LAYERS, *emb.shape[1:])
-
-    def _encode_plain(self, prompt: str):
-        ids = jnp.asarray(self.tokenizer([prompt]))
-        emb = clip_text_encode(self.text_encoder_params, ids,
-                               self.text_config)
-        return jnp.broadcast_to(
-            emb[:, None], (1, NUM_CROSS_ATTENTION_LAYERS, *emb.shape[1:]))
-
     def encode_region_prompt(self, prompt, negative_prompt: str = ''):
         """→ (prompt_embeds (2,16,77,C), region_list [(embeds, box), ...])
-        (reference _encode_region_prompt, …t2iadapter.py:215-299)."""
+        (reference _encode_region_prompt, …t2iadapter.py:215-299).
+
+        All (1+R) layerwise prompts (16 concept binds each) and (1+R)
+        negatives encode through ONE batched `clip_text_encode` call:
+        issuing them as 2(1+R) separate dispatches cost 2.4 s/call of
+        serialized tunnel roundtrips at 3 regions (tools/budget_regional.py
+        — the dominant term of the regional serial-vs-pipelined gap), vs
+        ~0.3 s for one h2d + one dispatch. The result is memoized on the
+        layout text (the reference CLI's serving pattern is one layout,
+        many seeds — …regionally_controlable_sampling.py resamples the
+        same region prompts per image), so repeat calls skip encoding
+        entirely; any text change re-encodes."""
         assert self.new_concept_cfg is not None
         assert len(prompt) == 1, 'only sample one prompt once in this version'
+        key = (repr(prompt), negative_prompt or '')
+        if self._encode_memo is not None and self._encode_memo[0] == key:
+            return self._encode_memo[1]
         context_prompt, regions = prompt[0]
-        ctx = self._encode_layerwise(context_prompt)
-        neg = self._encode_plain(negative_prompt or '')
-        prompt_embeds = jnp.concatenate([neg, ctx]).astype(self.dtype)
+        nl = NUM_CROSS_ATTENTION_LAYERS
 
+        texts = []
+        for p in [context_prompt] + [r[0] for r in regions]:
+            texts.extend(bind_concept_prompt([p], self.new_concept_cfg))
+        texts.append(negative_prompt or '')
+        texts.extend(r[1] or '' for r in regions)
+        ids = jnp.asarray(self.tokenizer(texts))
+        emb = clip_text_encode(self.text_encoder_params, ids,
+                               self.text_config)
+
+        n_lw = 1 + len(regions)
+        lw = emb[:n_lw * nl].reshape(n_lw, nl, *emb.shape[1:])
+
+        def neg16(i):  # plain negative broadcast across the 16 layer slots
+            e = emb[n_lw * nl + i]
+            return jnp.broadcast_to(e[None, None], (1, nl, *e.shape))
+
+        prompt_embeds = jnp.concatenate(
+            [neg16(0), lw[0][None]]).astype(self.dtype)
         region_list = []
-        for region_prompt, region_neg_prompt, box in regions:
-            remb = self._encode_layerwise(region_prompt)
-            rneg = self._encode_plain(region_neg_prompt or '')
-            embeds = jnp.concatenate([rneg, remb]).astype(self.dtype)
+        for i, (_, _, box) in enumerate(regions):
+            embeds = jnp.concatenate(
+                [neg16(1 + i), lw[1 + i][None]]).astype(self.dtype)
             region_list.append((embeds, jnp.asarray(box, jnp.float32)))
+        self._encode_memo = (key, (prompt_embeds, region_list))
         return prompt_embeds, region_list
 
     # ------------------------------------------------------------- adapters
