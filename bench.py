@@ -61,16 +61,29 @@ def _device_info():
 
 
 def _init_sd15():
-    """Deterministic SD1.5-size init trees, disk-cached (the host's
-    intermittent memory stalls make fresh init cost minutes — see
-    mixofshow_tpu/utils/initcache.py)."""
+    """Deterministic SD1.5-size init trees.
+
+    On an accelerator backend the UNet/VAE generate ON DEVICE
+    (utils/device_init.py): uploading the host-cached fp32 trees through
+    the tunnel measured ~10 MB/s — 384 s of the 404 s "warm-cache first
+    call" was pure param transfer (docs/Performance.md). The text encoder
+    stays host-side + disk-cached (utils/initcache.py): concept init and
+    the trainer read its token_embedding values on host. MOS_DEVICE_INIT=0
+    forces the host path for everything."""
     from mixofshow_tpu.models import (CLIPTextConfig, UNetConfig, VAEConfig,
                                       init_clip_text, init_unet, init_vae)
     from mixofshow_tpu.utils.initcache import cached_init
     ucfg, ccfg, vcfg = UNetConfig.sd15(), CLIPTextConfig.sd15(), VAEConfig.sd15()
-    unet = cached_init('unet_sd15_s0_f32', lambda: init_unet(0, ucfg))
+    import jax
+    if (os.environ.get('MOS_DEVICE_INIT', '1') != '0'
+            and jax.default_backend() != 'cpu'):
+        from mixofshow_tpu.utils.device_init import device_init
+        unet = device_init(lambda: init_unet(0, ucfg), seed=0)
+        vae = device_init(lambda: init_vae(2, vcfg), seed=2)
+    else:
+        unet = cached_init('unet_sd15_s0_f32', lambda: init_unet(0, ucfg))
+        vae = cached_init('vae_sd15_s2_f32', lambda: init_vae(2, vcfg))
     te = cached_init('clip_sd15_s1_f32', lambda: init_clip_text(1, ccfg))
-    vae = cached_init('vae_sd15_s2_f32', lambda: init_vae(2, vcfg))
     return (ucfg, ccfg, vcfg), (unet, te, vae)
 
 def bench_train(emit=True):

@@ -227,11 +227,54 @@ def as_rng(seed) -> np.random.Generator:
     return np.random.default_rng([int(x) for x in np.asarray(seed).ravel()])
 
 
+class LeafSpec:
+    """Placeholder leaf recorded under `spec_mode()`: the distribution of an
+    init leaf, without generating values. utils/device_init.py turns a tree
+    of these into one jitted on-device generation program — on a remote-TPU
+    link, uploading an SD1.5 fp32 tree costs ~400 s at the measured
+    ~10 MB/s, while generating it on device is free (docs/Performance.md,
+    warm-first-call budget)."""
+
+    __slots__ = ('kind', 'shape', 'dtype', 'param')
+
+    def __init__(self, kind, shape, dtype, param=0.0):
+        self.kind = kind          # 'uniform' | 'normal' | 'ones' | 'zeros'
+        self.shape = tuple(shape) if not isinstance(shape, int) else (shape,)
+        self.dtype = dtype
+        self.param = param        # uniform: bound; normal: scale
+
+    def __repr__(self):
+        return (f'LeafSpec({self.kind}, {self.shape}, '
+                f'{np.dtype(self.dtype).name}, {self.param})')
+
+
+_SPEC_MODE = False
+
+
+class spec_mode:
+    """Context manager: init helpers record LeafSpecs instead of generating
+    host arrays. Init builders are pure compositions of these helpers (no
+    post-hoc arithmetic on leaves), so the recorded tree has exactly the
+    host tree's structure/shapes/dtypes."""
+
+    def __enter__(self):
+        global _SPEC_MODE
+        self._prev, _SPEC_MODE = _SPEC_MODE, True
+        return self
+
+    def __exit__(self, *exc):
+        global _SPEC_MODE
+        _SPEC_MODE = self._prev
+        return False
+
+
 def _uniform_f32(rng: np.random.Generator, bound: float, shape, dtype):
     """U[-bound, bound] generated NATIVELY in float32. `rng.uniform` always
     generates float64; on this host's slow single core that costs minutes
     for SD1.5-size trees (~1B params) — native f32 generation measures ~3x
     faster and halves peak memory."""
+    if _SPEC_MODE:
+        return LeafSpec('uniform', shape, dtype, bound)
     x = rng.random(shape, dtype=np.float32)
     x *= 2.0 * bound
     x -= bound
@@ -265,11 +308,16 @@ def init_conv2d(rng, kh: int, kw: int, in_dim: int, out_dim: int,
 
 
 def init_norm(dim: int, dtype=jnp.float32):
+    if _SPEC_MODE:
+        return {'scale': LeafSpec('ones', (dim,), dtype),
+                'bias': LeafSpec('zeros', (dim,), dtype)}
     return {'scale': np.ones((dim,), dtype), 'bias': np.zeros((dim,), dtype)}
 
 
 def init_embedding(rng, num: int, dim: int, scale: float = 0.02,
                    dtype=jnp.float32):
+    if _SPEC_MODE:
+        return LeafSpec('normal', (num, dim), dtype, scale)
     rng = as_rng(rng)
     x = rng.standard_normal((num, dim), dtype=np.float32)
     x *= scale

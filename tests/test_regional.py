@@ -269,3 +269,56 @@ def test_convert_t2i_adapter_original_pth_layout():
     with pytest.raises(ValueError):
         convert_t2i_adapter({'body.0.skep.weight': w(32, 32, 1),
                              'body.0.block1.weight': w(32, 32, 3)}, cfg)
+
+
+def test_encode_region_prompt_batched_equals_per_text(pipe):
+    """The single batched CLIP dispatch (all layerwise binds + negatives in
+    one (N,77) call) must equal encoding each prompt separately — images
+    are independent rows through the text encoder. Guards the r5 encode
+    batching (reference per-prompt path …t2iadapter.py:215-299)."""
+    from mixofshow_tpu.models.clip import clip_text_encode
+    from mixofshow_tpu.pipelines.concepts import bind_concept_prompt
+
+    regions = [('a <a1> <a2> person', 'lowres', [0.0, 0.0, 1.0, 0.5]),
+               ('a tree', '', [0.0, 0.5, 1.0, 1.0])]
+    pipe._encode_memo = None
+    pe, rl = pipe.encode_region_prompt(_prompt(regions), 'bad quality')
+
+    def lw(text):
+        ids = jnp.asarray(pipe.tokenizer(
+            bind_concept_prompt([text], pipe.new_concept_cfg)))
+        e = clip_text_encode(pipe.text_encoder_params, ids, pipe.text_config)
+        return e.reshape(1, 16, *e.shape[1:])
+
+    def plain(text):
+        ids = jnp.asarray(pipe.tokenizer([text]))
+        e = clip_text_encode(pipe.text_encoder_params, ids, pipe.text_config)
+        return jnp.broadcast_to(e[:, None], (1, 16, *e.shape[1:]))
+
+    want_ctx = np.concatenate([plain('bad quality'),
+                               lw('two people near a lake')])
+    np.testing.assert_allclose(np.asarray(pe), want_ctx, atol=2e-5)
+    assert len(rl) == 2
+    for (embeds, box), (rtext, rneg, rbox) in zip(rl, regions):
+        want = np.concatenate([plain(rneg or ''), lw(rtext)])
+        np.testing.assert_allclose(np.asarray(embeds), want, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(box), rbox)
+
+
+def test_encode_region_prompt_memo(pipe):
+    """Memo: same layout text → identical cached objects (no re-encode);
+    any text change or a concept-cfg reset → fresh encode."""
+    regions = [('a <a1> <a2> person', '', [0.0, 0.0, 1.0, 0.5])]
+    pipe._encode_memo = None
+    pe1, rl1 = pipe.encode_region_prompt(_prompt(regions), 'neg')
+    pe2, rl2 = pipe.encode_region_prompt(_prompt(regions), 'neg')
+    assert pe2 is pe1 and rl2[0][0] is rl1[0][0]  # memo hit
+
+    pe3, _ = pipe.encode_region_prompt(_prompt(regions), 'other neg')
+    assert pe3 is not pe1  # text change re-encodes
+    # the positive context is unchanged, only the negative rows moved
+    np.testing.assert_allclose(np.asarray(pe3[1]), np.asarray(pe1[1]),
+                               atol=2e-5)
+
+    pipe.set_new_concept_cfg(pipe.new_concept_cfg)  # cfg reset clears memo
+    assert pipe._encode_memo is None

@@ -77,7 +77,9 @@ def main():
               num_inference_steps=steps, num_images_per_prompt=batch,
               output_type='pil')
 
+    t_warm = time.time()
     pipe(prompt, seed=0, **kw)  # warm every program
+    warmup_s = time.time() - t_warm
 
     def med(xs):
         return float(np.median(xs))
@@ -95,13 +97,22 @@ def main():
         ts.append(time.time() - t0)
     tokenize_s = med(ts)
 
-    # 2. encode wall (tokenize + CLIP dispatches, async)
+    # 2. encode wall (tokenize + CLIP dispatch, async). Reported twice:
+    # memo-hit (the serving steady state — one layout, many seeds) and
+    # fresh (memo cleared: the cost of a layout change).
     ts = []
     for _ in range(n_runs):
         t0 = time.time()
         pe, rl = pipe.encode_region_prompt(prompt, '')
         ts.append(time.time() - t0)
     encode_s = med(ts)
+    ts = []
+    for _ in range(n_runs):
+        pipe._encode_memo = None
+        t0 = time.time()
+        pe, rl = pipe.encode_region_prompt(prompt, '')
+        ts.append(time.time() - t0)
+    encode_fresh_s = med(ts)
 
     # 3. adapter wall (preprocess + adapter apply + weight maps, async)
     from mixofshow_tpu.models.t2i_adapter import preprocess_adapter_image
@@ -155,8 +166,10 @@ def main():
 
     rec = {
         'shape': f'{height}x{width} {steps}-step b{batch} 3-region keypose',
+        'warmup_first_call_s': round(warmup_s, 1),
         'tokenize_s': round(tokenize_s, 4),
         'encode_wall_s': round(encode_s, 4),
+        'encode_fresh_s': round(encode_fresh_s, 4),
         'adapter_wall_s': round(adapter_s, 4),
         'dispatch_s': round(dispatch_s, 4),
         'fetch_pil_s': round(fetch_pil_s, 4),
